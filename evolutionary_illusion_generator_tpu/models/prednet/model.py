@@ -1,0 +1,317 @@
+"""PredNet: the predictive-coding ConvLSTM stack, TPU-native.
+
+Re-implements the frozen predictor the reference drives through the (empty)
+``chainer_prednet`` submodule (call contract: ``test_prednet(initmodel,
+sequence_list, size, channels, gpu, output_dir, skip_save_frames,
+extension_start, extension_duration, reset_at, verbose, c_dim)``,
+generate_illusion.py:533-537; architecture per Lotter et al. 2017 /
+Watanabe et al. 2018, Readme.md:13).
+
+Architecture (channels per layer ``[c, 48, 96, 192]`` color or
+``[1, 16, 32, 64]`` grayscale, generate_illusion.py:734):
+
+  top-down, l = L-1..0:
+    R_l, c_l <- ConvLSTM_l(concat[E_l(t-1), R_l(t-1), upsample2(R_{l+1}(t))])
+  bottom-up, l = 0..L-1 with A_0 = input frame:
+    Ahat_l = ReLU(conv(R_l))        (SatLU clip to [0,1] at l=0)
+    E_l    = concat[ReLU(Ahat_l - A_l), ReLU(A_l - Ahat_l)]
+    A_{l+1}= maxpool2(conv(E_l))
+  prediction = Ahat_0
+
+TPU-first design decisions (NOT a translation of the Chainer code):
+  * population is the batch axis: one rollout call evaluates every candidate
+    as a big NHWC batched conv program on the MXU — the reference instead
+    concatenates candidates into one long frame sequence and resets
+    recurrent state every ``reset_at`` frames (generate_illusion.py:536);
+    independent-batch rollouts make the reset machinery unnecessary.
+  * time is a ``lax.scan`` (recurrence is inherently sequential); the
+    open-loop -> closed-loop switch ("extension", feeding back its own
+    prediction) is a per-step select, not Python control flow.
+  * params/states are bfloat16, gate math accumulates in float32.
+  * all four LSTM gates come from ONE conv (4*C output channels); the gate
+    nonlinearities + cell update are fused (Pallas kernel in
+    ops/convlstm_pallas.py, jnp fallback here).
+  * only the frames the fitness oracle needs are kept (predictions at
+    t = repeat-1, repeat, repeat+1) — no (T, pop, H, W, C) buffer.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = [
+    "PredNetParams",
+    "init_params",
+    "init_state",
+    "prednet_step",
+    "rollout",
+    "rollout_flow_frames",
+]
+
+
+# Params are plain pytrees (lists of per-layer dicts) — functional style,
+# trivially shardable/replicable under pjit.
+PredNetParams = List[dict]
+
+
+def _conv_init(key, shape, dtype, scale=None):
+    fan_in = shape[0] * shape[1] * shape[2]
+    if scale is None:
+        scale = 1.0 / np.sqrt(fan_in)
+    return (jax.random.normal(key, shape, jnp.float32) * scale).astype(dtype)
+
+
+def init_params(
+    key,
+    channels: Sequence[int] = (3, 48, 96, 192),
+    kernel: int = 3,
+    dtype=jnp.bfloat16,
+) -> PredNetParams:
+    """Random PredNet parameters for the given per-layer channel stack."""
+    L = len(channels)
+    params: PredNetParams = []
+    keys = jax.random.split(key, L * 3)
+    for l in range(L):
+        C = channels[l]
+        in_ch = 2 * C + C  # E_l + R_l
+        if l + 1 < L:
+            in_ch += channels[l + 1]  # upsampled R_{l+1}
+        layer = {
+            "lstm_w": _conv_init(keys[3 * l], (kernel, kernel, in_ch, 4 * C), dtype),
+            "lstm_b": jnp.zeros((4 * C,), dtype),
+            "ahat_w": _conv_init(keys[3 * l + 1], (kernel, kernel, C, C), dtype),
+            "ahat_b": jnp.zeros((C,), dtype),
+        }
+        if l + 1 < L:
+            layer["a_w"] = _conv_init(
+                keys[3 * l + 2], (kernel, kernel, 2 * C, channels[l + 1]), dtype
+            )
+            layer["a_b"] = jnp.zeros((channels[l + 1],), dtype)
+        params.append(layer)
+    return params
+
+
+def init_state(
+    batch: int,
+    h: int,
+    w: int,
+    channels: Sequence[int] = (3, 48, 96, 192),
+    dtype=jnp.bfloat16,
+):
+    """Zero recurrent state: per layer (R, c, E) at 1/2^l resolution."""
+    state = []
+    for l, C in enumerate(channels):
+        hl, wl = h // (2**l), w // (2**l)
+        state.append(
+            {
+                "r": jnp.zeros((batch, hl, wl, C), dtype),
+                "c": jnp.zeros((batch, hl, wl, C), dtype),
+                "e": jnp.zeros((batch, hl, wl, 2 * C), dtype),
+            }
+        )
+    return state
+
+
+def _conv(x, w, b):
+    """NHWC same-padding conv with f32 accumulation."""
+    y = jax.lax.conv_general_dilated(
+        x,
+        w,
+        window_strides=(1, 1),
+        padding="SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    )
+    return y + b.astype(jnp.float32)
+
+
+def _upsample2(x):
+    """Nearest-neighbour 2x upsample (NHWC)."""
+    b, h, w, c = x.shape
+    x = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, 2, w, 2, c))
+    return x.reshape(b, 2 * h, 2 * w, c)
+
+
+def _maxpool2(x):
+    return jax.lax.reduce_window(
+        x,
+        -jnp.inf if x.dtype == jnp.float32 else jnp.finfo(x.dtype).min,
+        jax.lax.max,
+        (1, 2, 2, 1),
+        (1, 2, 2, 1),
+        "VALID",
+    )
+
+
+def _lstm_gates_jnp(gates_f32, c_prev):
+    """Reference gate math (f32): i,f,o sigmoid; g tanh; c = f*c + i*g."""
+    i, f, o, g = jnp.split(gates_f32, 4, axis=-1)
+    i = jax.nn.sigmoid(i)
+    f = jax.nn.sigmoid(f)
+    o = jax.nn.sigmoid(o)
+    g = jnp.tanh(g)
+    c = f * c_prev.astype(jnp.float32) + i * g
+    h = o * jnp.tanh(c)
+    return h, c
+
+
+def _apply_gates(gates_f32, c_prev, use_pallas: bool):
+    if use_pallas:
+        from ...ops.convlstm_pallas import fused_lstm_gates
+
+        # off-TPU (CPU test mesh) the kernel runs in interpreter mode
+        interpret = jax.default_backend() != "tpu"
+        return fused_lstm_gates(gates_f32, c_prev, interpret=interpret)
+    return _lstm_gates_jnp(gates_f32, c_prev)
+
+
+def prednet_step(
+    params: PredNetParams,
+    state,
+    frame,
+    *,
+    use_pallas: bool = False,
+):
+    """One PredNet timestep.
+
+    Args:
+      params: from :func:`init_params`.
+      state: per-layer dicts (r, c, e) from :func:`init_state`.
+      frame: (B, H, W, C0) input in [0, 1].
+    Returns:
+      (new_state, prediction) with prediction (B, H, W, C0) f32 in [0, 1].
+    """
+    L = len(params)
+    dtype = state[0]["r"].dtype
+
+    # ---- top-down recurrent pass -------------------------------------
+    new_state = [dict(s) for s in state]
+    r_above: Optional[jnp.ndarray] = None
+    for l in reversed(range(L)):
+        s = state[l]
+        parts = [s["e"], s["r"]]
+        if r_above is not None:
+            parts.append(_upsample2(r_above))
+        x = jnp.concatenate(parts, axis=-1)
+        gates = _conv(x, params[l]["lstm_w"], params[l]["lstm_b"])
+        h, c = _apply_gates(gates, s["c"], use_pallas)
+        new_state[l]["r"] = h.astype(dtype)
+        new_state[l]["c"] = c.astype(dtype)
+        r_above = new_state[l]["r"]
+
+    # ---- bottom-up error pass ----------------------------------------
+    a = frame.astype(jnp.float32)
+    prediction = None
+    for l in range(L):
+        r = new_state[l]["r"]
+        ahat = _conv(r, params[l]["ahat_w"], params[l]["ahat_b"])
+        if l == 0:
+            ahat = jnp.clip(ahat, 0.0, 1.0)  # SatLU at the pixel layer
+            prediction = ahat
+        else:
+            ahat = jax.nn.relu(ahat)
+        e = jnp.concatenate(
+            [jax.nn.relu(ahat - a), jax.nn.relu(a - ahat)], axis=-1
+        )
+        new_state[l]["e"] = e.astype(dtype)
+        if l + 1 < L:
+            a_next = jax.nn.relu(
+                _conv(e.astype(dtype), params[l]["a_w"], params[l]["a_b"])
+            )
+            a = _maxpool2(a_next)
+
+    return new_state, prediction
+
+
+def rollout(
+    params: PredNetParams,
+    images,
+    *,
+    repeat: int = 20,
+    extension: int = 2,
+    collect: Tuple[int, ...] = (),
+    use_pallas: bool = False,
+):
+    """Run the reference's repeated-frame + closed-loop-extension schedule.
+
+    The input image is presented ``repeat`` times (open loop), then the
+    model's own prediction is fed back for ``extension`` steps ("extension",
+    generate_illusion.py:531-536: extension_start=repeat,
+    extension_duration=2).  Per-candidate state starts at zero, which is what
+    the reference's ``reset_at=repeat+extension`` achieves between
+    candidates.
+
+    Args:
+      images: (B, H, W, C0) float in [0, 1] — one frame per candidate.
+      collect: timesteps whose predictions to return (e.g. ``(19, 20)`` for
+        the population flow pair, ``(21,)`` for the probe pair).
+    Returns:
+      dict: {"predictions": {t: (B, H, W, C0) f32}, "final_state": state}
+    """
+    B, H, W, C0 = images.shape
+    channels = [p["ahat_w"].shape[2] for p in params]
+    assert channels[0] == C0, (channels, C0)
+    T = repeat + extension
+    state0 = init_state(B, H, W, channels, dtype=params[0]["lstm_w"].dtype)
+
+    collect = tuple(sorted(collect))
+    saved0 = {t: jnp.zeros((B, H, W, C0), jnp.float32) for t in collect}
+
+    def step(carry, t):
+        state, prev_pred, saved = carry
+        frame = jnp.where(t < repeat, images.astype(jnp.float32), prev_pred)
+        state, pred = prednet_step(params, state, frame, use_pallas=use_pallas)
+        saved = {
+            k: jnp.where(t == k, pred, v) for k, v in saved.items()
+        }
+        return (state, pred, saved), None
+
+    init = (state0, images.astype(jnp.float32), saved0)
+    (state, _, saved), _ = jax.lax.scan(step, init, jnp.arange(T))
+    return {"predictions": saved, "final_state": state}
+
+
+def rollout_flow_frames(
+    params: PredNetParams,
+    images,
+    *,
+    repeat: int = 20,
+    extension: int = 2,
+    pair: str = "population",
+    use_pallas: bool = False,
+):
+    """Return the two frames the flow stage compares.
+
+    Two conventions coexist in the reference (SURVEY.md Appendix C #9):
+      * "population": prediction at t=repeat-1 vs first extension frame
+        (generate_illusion.py:543-546);
+      * "probe": the input image itself vs the second extension frame
+        (fitness_calculator.py:493-498).
+    """
+    if pair == "population":
+        out = rollout(
+            params,
+            images,
+            repeat=repeat,
+            extension=extension,
+            collect=(repeat - 1, repeat),
+            use_pallas=use_pallas,
+        )
+        return out["predictions"][repeat - 1], out["predictions"][repeat]
+    if pair == "probe":
+        out = rollout(
+            params,
+            images,
+            repeat=repeat,
+            extension=extension,
+            collect=(repeat + 1,),
+            use_pallas=use_pallas,
+        )
+        return images.astype(jnp.float32), out["predictions"][repeat + 1]
+    raise ValueError(f"unknown pair convention: {pair!r}")

@@ -1,0 +1,98 @@
+"""Fused ConvLSTM gate kernel (Pallas/TPU).
+
+The ConvLSTM cell update after the gate conv is a pure elementwise chain:
+
+    i,f,o,g = split(gates); c = sigmoid(f)*c_prev + sigmoid(i)*tanh(g);
+    h = sigmoid(o)*tanh(c)
+
+Done op-by-op this makes multiple HBM round-trips over (B, H, W, 4C) + two
+(B, H, W, C) tensors — pure bandwidth.  This kernel reads each operand once
+and writes h and c once, tiled over rows to stay inside VMEM.  It is
+bandwidth-bound by construction (one pass), i.e. speed-of-light for this op;
+the convs feeding it stay in XLA where the MXU conv emitter is optimal.
+
+Used by models/prednet via ``use_pallas=True``; the jnp fallback computes
+identical math (parity-tested in interpret mode on CPU).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["fused_lstm_gates"]
+
+
+def _gates_kernel(gates_ref, c_prev_ref, h_ref, c_ref):
+    C = c_prev_ref.shape[-1]
+    gates = gates_ref[:]
+    i = jax.nn.sigmoid(gates[..., 0 * C : 1 * C])
+    f = jax.nn.sigmoid(gates[..., 1 * C : 2 * C])
+    o = jax.nn.sigmoid(gates[..., 2 * C : 3 * C])
+    g = jnp.tanh(gates[..., 3 * C : 4 * C])
+    c = f * c_prev_ref[:].astype(jnp.float32) + i * g
+    h_ref[:] = o * jnp.tanh(c)
+    c_ref[:] = c
+
+
+def _row_tile(h: int, w: int, c: int, vmem_budget_bytes: int = 8 * 1024 * 1024) -> int:
+    """Rows per tile so (rows, W, 6C) f32 operands fit the VMEM budget."""
+    bytes_per_row = w * c * 4 * 6  # gates(4C) + c_prev(C) + h/c out (~C each)
+    rows = max(1, vmem_budget_bytes // max(1, bytes_per_row))
+    return min(h, rows)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def fused_lstm_gates(gates, c_prev, interpret: bool = False):
+    """Apply fused LSTM gate math.
+
+    Args:
+      gates: (B, H, W, 4C) f32 pre-activations (conv output).
+      c_prev: (B, H, W, C) previous cell state (any float dtype).
+    Returns:
+      (h, c) both (B, H, W, C) f32.
+    """
+    B, H, W, C4 = gates.shape
+    C = C4 // 4
+    rows = _row_tile(H, W, C)
+    grid = (B, pl.cdiv(H, rows))
+
+    out_shape = (
+        jax.ShapeDtypeStruct((B, H, W, C), jnp.float32),
+        jax.ShapeDtypeStruct((B, H, W, C), jnp.float32),
+    )
+    h, c = pl.pallas_call(
+        _gates_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (1, rows, W, 4 * C),
+                lambda b, r: (b, r, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, rows, W, C),
+                lambda b, r: (b, r, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=(
+            pl.BlockSpec(
+                (1, rows, W, C),
+                lambda b, r: (b, r, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, rows, W, C),
+                lambda b, r: (b, r, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ),
+        out_shape=out_shape,
+        interpret=interpret,
+    )(gates, c_prev)
+    return h, c

@@ -1,0 +1,113 @@
+"""PredNet tests: shapes, rollout schedule, gate-kernel parity."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from evolutionary_illusion_generator_tpu.models.prednet import (
+    init_params,
+    init_state,
+    prednet_step,
+    rollout,
+    rollout_flow_frames,
+)
+from evolutionary_illusion_generator_tpu.models.prednet.model import _lstm_gates_jnp
+from evolutionary_illusion_generator_tpu.ops.convlstm_pallas import fused_lstm_gates
+
+CHANNELS = (1, 4, 8)  # tiny stand-in stack (real: [3,48,96,192])
+H, W, B = 16, 24, 3
+
+
+@pytest.fixture(scope="module")
+def params():
+    return init_params(jax.random.PRNGKey(0), CHANNELS)
+
+
+@pytest.fixture(scope="module")
+def images():
+    rng = np.random.default_rng(0)
+    return jnp.asarray(rng.uniform(0, 1, (B, H, W, CHANNELS[0])), jnp.float32)
+
+
+class TestStep:
+    def test_shapes_and_range(self, params, images):
+        state = init_state(B, H, W, CHANNELS)
+        state, pred = prednet_step(params, state, images)
+        assert pred.shape == (B, H, W, CHANNELS[0])
+        assert pred.dtype == jnp.float32
+        # SatLU keeps the pixel prediction in [0, 1]
+        assert float(jnp.min(pred)) >= 0.0 and float(jnp.max(pred)) <= 1.0
+        for l, C in enumerate(CHANNELS):
+            hl, wl = H // 2**l, W // 2**l
+            assert state[l]["r"].shape == (B, hl, wl, C)
+            assert state[l]["e"].shape == (B, hl, wl, 2 * C)
+
+    def test_batch_independence(self, params, images):
+        """Candidate b's prediction must not depend on other candidates —
+        the property the reference needs reset_at for."""
+        state = init_state(B, H, W, CHANNELS)
+        _, pred_full = prednet_step(params, state, images)
+        state1 = init_state(1, H, W, CHANNELS)
+        _, pred_one = prednet_step(params, state1, images[1:2])
+        np.testing.assert_allclose(
+            np.asarray(pred_full)[1], np.asarray(pred_one)[0], rtol=2e-3, atol=2e-3
+        )
+
+
+class TestRollout:
+    def test_collect_and_schedule(self, params, images):
+        out = rollout(params, images, repeat=5, extension=2, collect=(4, 5, 6))
+        preds = out["predictions"]
+        assert set(preds) == {4, 5, 6}
+        for p in preds.values():
+            assert p.shape == (B, H, W, CHANNELS[0])
+        # open-loop prediction at t=4 and closed-loop at t=5 must differ
+        assert not np.allclose(np.asarray(preds[4]), np.asarray(preds[5]))
+
+    def test_flow_frame_conventions(self, params, images):
+        f0, f1 = rollout_flow_frames(params, images, repeat=5, extension=2,
+                                     pair="population")
+        assert f0.shape == f1.shape == images.shape
+        g0, g1 = rollout_flow_frames(params, images, repeat=5, extension=2,
+                                     pair="probe")
+        np.testing.assert_allclose(np.asarray(g0), np.asarray(images))
+
+    def test_deterministic(self, params, images):
+        a = rollout(params, images, repeat=4, extension=2, collect=(3,))
+        b = rollout(params, images, repeat=4, extension=2, collect=(3,))
+        np.testing.assert_array_equal(
+            np.asarray(a["predictions"][3]), np.asarray(b["predictions"][3])
+        )
+
+    def test_open_loop_converges_more_with_repeats(self, params, images):
+        """More repeats of the same frame should not increase prediction
+        error (the predictive coder settles)."""
+        short = rollout(params, images, repeat=3, extension=1, collect=(2,))
+        long = rollout(params, images, repeat=15, extension=1, collect=(14,))
+        err_short = float(jnp.mean(jnp.abs(short["predictions"][2] - images)))
+        err_long = float(jnp.mean(jnp.abs(long["predictions"][14] - images)))
+        assert err_long <= err_short * 1.5  # loose: settling, not divergence
+
+
+class TestFusedGates:
+    def test_pallas_matches_jnp(self):
+        rng = np.random.default_rng(1)
+        gates = jnp.asarray(rng.normal(0, 2, (2, 8, 16, 4 * 8)), jnp.float32)
+        c_prev = jnp.asarray(rng.normal(0, 1, (2, 8, 16, 8)), jnp.float32)
+        h_ref, c_ref = _lstm_gates_jnp(gates, c_prev)
+        h_pal, c_pal = fused_lstm_gates(gates, c_prev, interpret=True)
+        np.testing.assert_allclose(np.asarray(h_pal), np.asarray(h_ref), rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(c_pal), np.asarray(c_ref), rtol=1e-5, atol=1e-6)
+
+    def test_rollout_with_pallas_gates(self, params, images):
+        a = rollout(params, images, repeat=3, extension=1, collect=(3,))
+        b = rollout(params, images, repeat=3, extension=1, collect=(3,),
+                    use_pallas=True)
+        np.testing.assert_allclose(
+            np.asarray(a["predictions"][3]),
+            np.asarray(b["predictions"][3]),
+            rtol=2e-3,
+            atol=2e-3,
+        )
