@@ -1,0 +1,226 @@
+"""The generation evaluator: one jitted device program per population.
+
+The reference's generation is a 6-phase pipeline glued together by PNG files
+on disk (SURVEY.md §3.1: render -> PredNet -> flow -> score -> assign ->
+artifacts, generate_illusion.py:478-673).  Here phases 1-3 are ONE jitted
+XLA program — CPPN render, PredNet rollout, and sparse flow never leave HBM:
+
+    packed genomes ──vmap cppn──> images ──scan prednet──> flow frames
+                  ──corners+LK──> (pop, K, 4) vectors + masks
+
+Only the (tiny) vector sets come back to the host, where scoring runs in
+float64 numpy with reference-exact math by default (bit-compatible rankings;
+SURVEY.md §7 "fitness-gate divergence"), or stays on device with
+``score_on_device=True`` for the fully-fused mode.
+
+Population and genome-slot sizes are bucketed (powers of two) so XLA
+recompiles only when a bucket grows.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field, replace
+from functools import partial
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.cppn import evaluate_population, pack_population, required_nodes
+from ..models.prednet.model import PredNetParams, rollout_flow_frames
+from ..neat.config import NeatConfig
+from ..neat.genome import Genome
+from ..ops.fitness.calculate import score_vectors
+from ..ops.fitness.metrics_jax import score_vectors_jax
+from ..ops.flow.api import FlowConfig, batched_flow
+from ..ops.grids import GRID_SCALING, create_grid
+from ..ops.render import render_images, to_unit_float
+from ..structure import StructureType
+
+__all__ = ["EvalConfig", "GenerationEvaluator"]
+
+
+def _bucket(n: int, minimum: int = 8) -> int:
+    b = minimum
+    while b < n:
+        b *= 2
+    return b
+
+
+@dataclass(frozen=True)
+class EvalConfig:
+    """Static configuration of the generation device program."""
+
+    structure: StructureType = StructureType.Circles
+    w: int = 160
+    h: int = 120
+    c_dim: int = 3
+    gradient: int = 1
+    bg: int = 1
+    repeat: int = 20  # open-loop presentations (generate_illusion.py:483)
+    extension: int = 2  # closed-loop frames (:531)
+    flow: FlowConfig = field(default_factory=FlowConfig)
+    score_on_device: bool = False
+    use_pallas: bool = False
+    # population microbatching bound (memory); 0 = whole population at once
+    microbatch: int = 0
+
+
+class GenerationEvaluator:
+    """Evaluates NEAT populations; assigns ``genome.fitness`` in place.
+
+    Drop-in role of the reference's ``get_fitnesses_neat``
+    (generate_illusion.py:478-673) minus the filesystem.
+    """
+
+    def __init__(
+        self,
+        cfg: EvalConfig,
+        params: PredNetParams,
+        neat_cfg: NeatConfig,
+    ) -> None:
+        self.cfg = cfg
+        self.params = params
+        self.neat_cfg = neat_cfg
+        grid = create_grid(cfg.structure, cfg.w, cfg.h, GRID_SCALING)
+        self._x_mat = jnp.asarray(grid["x_mat"], jnp.float32)
+        self._grid_flat = jnp.stack(
+            [
+                jnp.asarray(grid["x_mat"], jnp.float32).reshape(-1),
+                jnp.asarray(grid["y_mat"], jnp.float32).reshape(-1),
+            ]
+        )
+        self._node_bucket = _bucket(
+            neat_cfg.num_inputs + neat_cfg.num_outputs + neat_cfg.num_hidden
+        )
+        self._jitted = {}
+        self.last_timings: Dict[str, float] = {}
+        self.last_results: Dict[str, np.ndarray] = {}
+
+    # ------------------------------------------------------------------
+
+    def _device_fn(self, pop_bucket: int, node_bucket: int):
+        key = (pop_bucket, node_bucket)
+        if key in self._jitted:
+            return self._jitted[key]
+
+        cfg = self.cfg
+
+        def run(packed, params):
+            outs = evaluate_population(
+                packed["weights"],
+                packed["bias"],
+                packed["response"],
+                packed["act_id"],
+                packed["out_slot"],
+                self._grid_flat,
+            )  # (pop, O, P)
+            imgs_u8 = render_images(
+                outs, self._x_mat, cfg.c_dim, bg=cfg.bg, gradient=cfg.gradient
+            )
+            imgs = to_unit_float(imgs_u8)
+
+            def flow_of(img_chunk):
+                f0, f1 = rollout_flow_frames(
+                    params,
+                    img_chunk,
+                    repeat=cfg.repeat,
+                    extension=cfg.extension,
+                    pair="population",
+                    use_pallas=cfg.use_pallas,
+                )
+                return batched_flow(f0, f1, cfg.flow) + (f0,)
+
+            if cfg.microbatch and cfg.microbatch < imgs.shape[0]:
+                mb = cfg.microbatch
+                n = imgs.shape[0] // mb
+                assert imgs.shape[0] % mb == 0, (imgs.shape[0], mb)
+                chunks = imgs.reshape(n, mb, *imgs.shape[1:])
+                vecs, masks, f0s = jax.lax.map(flow_of, chunks)
+                vectors = vecs.reshape(-1, *vecs.shape[2:])
+                vmask = masks.reshape(-1, *masks.shape[2:])
+                f0 = f0s.reshape(-1, *f0s.shape[2:])
+            else:
+                vectors, vmask, f0 = flow_of(imgs)
+
+            out = {
+                "images_u8": imgs_u8,
+                "vectors": vectors,
+                "mask": vmask,
+                "flow_frame0": f0,
+            }
+            if cfg.score_on_device:
+                score_one = lambda v, m: score_vectors_jax(
+                    int(cfg.structure), v, m, cfg.w, cfg.h
+                )
+                out["scores"] = jax.vmap(score_one)(vectors, vmask)
+            return out
+
+        fn = jax.jit(run)
+        self._jitted[key] = fn
+        return fn
+
+    # ------------------------------------------------------------------
+
+    def evaluate_images(self, genomes: Sequence[Genome]):
+        """Device pipeline only; returns dict of host numpy arrays
+        (images_u8, vectors, mask, flow_frame0[, scores]) truncated to the
+        real population size."""
+        n = len(genomes)
+        pop_bucket = _bucket(n)
+        # grow the node bucket first if any genome outgrew it
+        need = max(len(required_nodes(g, self.neat_cfg)) for g in genomes)
+        while self._node_bucket < need:
+            self._node_bucket *= 2
+        packed = pack_population(genomes, self.neat_cfg, self._node_bucket)
+        if n < pop_bucket:
+            pad = pop_bucket - n
+            packed = {
+                k: np.concatenate([v, np.repeat(v[-1:], pad, axis=0)])
+                for k, v in packed.items()
+            }
+        packed = {k: jnp.asarray(v) for k, v in packed.items()}
+        fn = self._device_fn(pop_bucket, self._node_bucket)
+        out = fn(packed, self.params)
+        return {k: np.asarray(v)[:n] for k, v in out.items()}
+
+    def __call__(self, population: List[Tuple[int, Genome]], neat_cfg=None):
+        """Fitness-function interface for :class:`..neat.Population`."""
+        cfg = self.cfg
+        genomes = [g for _, g in population]
+        t0 = time.time()
+        out = self.evaluate_images(genomes)
+        t1 = time.time()
+
+        if cfg.score_on_device:
+            scores = out["scores"].astype(np.float64)
+        else:
+            scores = np.zeros(len(genomes))
+            for i in range(len(genomes)):
+                v = out["vectors"][i][out["mask"][i]]
+                scores[i] = score_vectors(cfg.structure, v, cfg.w, cfg.h)
+        t2 = time.time()
+
+        best_idx = 0
+        best_score = 0.0
+        for i, (gid, genome) in enumerate(population):
+            genome.fitness = float(scores[i])
+            # reference tie-break: >= lets later candidates win
+            # (generate_illusion.py:625)
+            if scores[i] >= best_score:
+                best_idx = i
+                best_score = float(scores[i])
+
+        self.last_timings = {"device": t1 - t0, "score": t2 - t1}
+        self.last_results = {
+            "best_idx": best_idx,
+            "best_score": best_score,
+            "images_u8": out["images_u8"],
+            "vectors": out["vectors"],
+            "mask": out["mask"],
+            "flow_frame0": out["flow_frame0"],
+            "scores": scores,
+        }
+        return scores

@@ -87,8 +87,11 @@ class Population:
                 raise CompleteExtinctionException()
 
         self.species_set.speciate(cfg, self.population, self.generation)
-        self._report("end_generation", self.population, self.species_set)
+        # Increment BEFORE the end-of-generation report: a checkpoint written
+        # by a reporter then snapshots the exact resume point (the next
+        # generation's input population).
         self.generation += 1
+        self._report("end_generation", self.population, self.species_set)
         return best
 
     def run(self, fitness_function: Callable, n: Optional[int] = None) -> Genome:
