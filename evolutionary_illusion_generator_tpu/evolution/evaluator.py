@@ -95,17 +95,15 @@ class GenerationEvaluator:
         self._node_bucket = _bucket(
             neat_cfg.num_inputs + neat_cfg.num_outputs + neat_cfg.num_hidden
         )
+        self._pop_min = 8  # sharded subclass raises this to the mesh size
         self._jitted = {}
         self.last_timings: Dict[str, float] = {}
         self.last_results: Dict[str, np.ndarray] = {}
 
     # ------------------------------------------------------------------
 
-    def _device_fn(self, pop_bucket: int, node_bucket: int):
-        key = (pop_bucket, node_bucket)
-        if key in self._jitted:
-            return self._jitted[key]
-
+    def _build_run(self):
+        """The raw (unjitted) generation device program."""
         cfg = self.cfg
 
         def run(packed, params):
@@ -158,9 +156,13 @@ class GenerationEvaluator:
                 out["scores"] = jax.vmap(score_one)(vectors, vmask)
             return out
 
-        fn = jax.jit(run)
-        self._jitted[key] = fn
-        return fn
+        return run
+
+    def _device_fn(self, pop_bucket: int, node_bucket: int):
+        key = (pop_bucket, node_bucket)
+        if key not in self._jitted:
+            self._jitted[key] = jax.jit(self._build_run())
+        return self._jitted[key]
 
     # ------------------------------------------------------------------
 
@@ -169,7 +171,7 @@ class GenerationEvaluator:
         (images_u8, vectors, mask, flow_frame0[, scores]) truncated to the
         real population size."""
         n = len(genomes)
-        pop_bucket = _bucket(n)
+        pop_bucket = _bucket(n, self._pop_min)
         # grow the node bucket first if any genome outgrew it
         need = max(len(required_nodes(g, self.neat_cfg)) for g in genomes)
         while self._node_bucket < need:

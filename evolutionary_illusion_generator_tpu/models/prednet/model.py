@@ -119,9 +119,9 @@ def init_state(
 
 
 def _conv(x, w, b):
-    """NHWC same-padding conv with f32 accumulation."""
+    """NHWC same-padding conv in the weight dtype with f32 accumulation."""
     y = jax.lax.conv_general_dilated(
-        x,
+        x.astype(w.dtype),
         w,
         window_strides=(1, 1),
         padding="SAME",
