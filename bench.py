@@ -1,0 +1,156 @@
+"""Benchmark: wall-clock seconds per generation at the north-star config.
+
+Measures the fused generation device program (CPPN render -> PredNet 22-step
+rollout -> corner/LK flow -> scoring) at the BASELINE.json north-star point:
+pop=100, 640x480, color channels [3,48,96,192], Free structure.
+
+The reference publishes no perf numbers (BASELINE.md), so ``vs_baseline`` is
+the self-measured speedup over the same pipeline run on CPU: the CPU
+baseline is measured once at pop=2 (the pipeline is embarrassingly parallel
+over candidates, so cost scales linearly in pop) and cached in
+BASELINE_SELF.json.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "...", "vs_baseline": N}
+"""
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+POP = int(os.environ.get("BENCH_POP", "100"))
+W = int(os.environ.get("BENCH_W", "640"))
+H = int(os.environ.get("BENCH_H", "480"))
+CHANNELS = (3, 48, 96, 192)
+REPS = int(os.environ.get("BENCH_REPS", "3"))
+MICROBATCH = int(os.environ.get("BENCH_MICROBATCH", "0"))
+BASELINE_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "BASELINE_SELF.json")
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def measure_generation(pop, reps, backend_note=""):
+    """Median seconds per generation for a pop-sized population."""
+    from random import Random
+
+    import jax
+
+    from evolutionary_illusion_generator_tpu.evolution.evaluator import (
+        EvalConfig,
+        GenerationEvaluator,
+    )
+    from evolutionary_illusion_generator_tpu.models.prednet import init_params
+    from evolutionary_illusion_generator_tpu.neat import Genome, preset
+    from evolutionary_illusion_generator_tpu.structure import StructureType
+
+    neat_cfg = preset("free").replace(pop_size=pop)
+    params = init_params(jax.random.PRNGKey(0), CHANNELS)
+    cfg = EvalConfig(
+        structure=StructureType.Free,
+        w=W,
+        h=H,
+        c_dim=3,
+        gradient=1,
+        use_pallas=(jax.default_backend() == "tpu"),
+        microbatch=MICROBATCH,
+    )
+    evaluator = GenerationEvaluator(cfg, params, neat_cfg)
+    rng = Random(0)
+    genomes = [Genome.new(i, neat_cfg, rng) for i in range(pop)]
+    for g in genomes:
+        g.mutate(neat_cfg, rng)
+    items = [(g.key, g) for g in genomes]
+
+    log(f"[bench{backend_note}] backend={jax.default_backend()} "
+        f"pop={pop} {W}x{H} compiling...")
+    t0 = time.time()
+    evaluator(items)  # compile + first run
+    log(f"[bench{backend_note}] first call (incl. compile): "
+        f"{time.time() - t0:.1f}s")
+
+    times = []
+    for r in range(reps):
+        t0 = time.time()
+        evaluator(items)
+        times.append(time.time() - t0)
+        log(f"[bench{backend_note}] rep {r}: {times[-1]:.3f}s "
+            f"(device {evaluator.last_timings['device']:.3f}s, "
+            f"score {evaluator.last_timings['score']:.3f}s)")
+    times.sort()
+    return times[len(times) // 2]
+
+
+def cpu_baseline():
+    """Cached (or freshly measured) CPU seconds/generation at full pop."""
+    if os.path.exists(BASELINE_CACHE):
+        with open(BASELINE_CACHE) as f:
+            rec = json.load(f)
+        if rec.get("w") == W and rec.get("h") == H:
+            return rec["sec_per_generation_cpu_est"]
+    log("[bench] measuring CPU baseline (pop=2, scaled linearly)...")
+    code = (
+        "import os,sys,json;"
+        "sys.path.insert(0, %r);"
+        "os.environ['BENCH_POP']='2';"
+        "import jax; jax.config.update('jax_platforms','cpu');"
+        "import bench;"
+        "t = bench.measure_generation(2, 1, backend_note='/cpu');"
+        "print(json.dumps({'t2': t}))"
+    ) % os.path.dirname(os.path.abspath(__file__))
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, env=env,
+        timeout=3600,
+    )
+    if out.returncode != 0:
+        log(f"[bench] CPU baseline failed: {out.stderr[-500:]}")
+        return None
+    t2 = json.loads(out.stdout.strip().splitlines()[-1])["t2"]
+    est = t2 * (POP / 2.0)
+    with open(BASELINE_CACHE, "w") as f:
+        json.dump(
+            {
+                "sec_per_generation_cpu_est": est,
+                "measured_pop": 2,
+                "measured_sec": t2,
+                "w": W,
+                "h": H,
+                "note": "same pipeline on jax-CPU, pop=2 scaled x(pop/2); "
+                        "the reference itself cannot run here (chainer/"
+                        "submodules absent) so the baseline is self-measured "
+                        "per BASELINE.md",
+            },
+            f,
+            indent=2,
+        )
+    return est
+
+
+def main():
+    sec_per_gen = measure_generation(POP, REPS)
+    evals_per_sec = POP / sec_per_gen
+    base = cpu_baseline()
+    vs = (base / sec_per_gen) if base else 0.0
+    log(f"[bench] {sec_per_gen:.3f}s/gen ({evals_per_sec:.1f} evals/s/chip), "
+        f"cpu est {base if base else float('nan')}s -> {vs:.1f}x")
+    print(
+        json.dumps(
+            {
+                "metric": f"sec_per_generation_pop{POP}_{W}x{H}",
+                "value": round(sec_per_gen, 4),
+                "unit": "s",
+                "vs_baseline": round(vs, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

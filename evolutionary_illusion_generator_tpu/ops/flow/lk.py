@@ -6,14 +6,19 @@ coarse to fine, each corner solves the 2x2 normal equations of
 
     min_d  sum_win (I0(p + o) - I1(p + o + d))^2
 
-with a fixed window, bilinear sampling, and Newton iterations; the solved
-displacement doubles when descending a level.  Everything is fixed-shape:
-K corners x win^2 window samples, vmappable over a population axis.
+with a fixed window and Newton iterations.
+
+TPU-native formulation: LK's motion model is a pure translation per window,
+so a subpixel-shifted window equals a bilinear mix of FOUR integer-shifted
+windows.  Windows are extracted with ``vmap(dynamic_slice)`` — K contiguous
+(win, win) block gathers, which Mosaic compiles and executes orders of
+magnitude faster than elementwise index gathers (the naive formulation
+compiled in ~8 minutes and ran ~1 s; this one compiles in seconds and runs
+in milliseconds).  Everything is fixed-shape: (K, win, win) tensors,
+vmappable over a population axis.
 """
 
 from __future__ import annotations
-
-from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -21,29 +26,6 @@ import jax.numpy as jnp
 from .pyramid import build_pyramid
 
 __all__ = ["pyramid_lk"]
-
-
-def _bilinear(img, x, y):
-    """Sample img (H, W) at float coords; clamps to the border."""
-    H, W = img.shape
-    x = jnp.clip(x, 0.0, W - 1.001)
-    y = jnp.clip(y, 0.0, H - 1.001)
-    x0 = jnp.floor(x).astype(jnp.int32)
-    y0 = jnp.floor(y).astype(jnp.int32)
-    x1 = jnp.minimum(x0 + 1, W - 1)
-    y1 = jnp.minimum(y0 + 1, H - 1)
-    fx = x - x0
-    fy = y - y0
-    v00 = img[y0, x0]
-    v01 = img[y0, x1]
-    v10 = img[y1, x0]
-    v11 = img[y1, x1]
-    return (
-        v00 * (1 - fx) * (1 - fy)
-        + v01 * fx * (1 - fy)
-        + v10 * (1 - fx) * fy
-        + v11 * fx * fy
-    )
 
 
 def _scharr(img):
@@ -62,46 +44,86 @@ def _scharr(img):
     return ix, iy
 
 
-def _track_level(img0, img1, pos, guess, offsets, iters, min_eig_threshold):
+def _int_windows(img, top_left, win: int):
+    """Extract (K, win, win) windows at integer top-left corners.
+
+    ``dynamic_slice`` clamps starts at the image border, matching the
+    detector's border margin.
+    """
+
+    def one(tl):
+        return jax.lax.dynamic_slice(img, (tl[1], tl[0]), (win, win))
+
+    return jax.vmap(one)(top_left)
+
+
+def _subpix_windows(img, top_left_f, win: int):
+    """(K, win, win) windows at FLOAT top-left corners: bilinear mix of the
+    four integer-shifted windows (valid because the offset is uniform
+    across the window)."""
+    tl0 = jnp.floor(top_left_f)
+    frac = top_left_f - tl0  # (K, 2) in [0, 1)
+    tl0 = tl0.astype(jnp.int32)
+    fx = frac[:, 0][:, None, None]
+    fy = frac[:, 1][:, None, None]
+    w00 = _int_windows(img, tl0, win)
+    w01 = _int_windows(img, tl0 + jnp.array([1, 0], jnp.int32), win)
+    w10 = _int_windows(img, tl0 + jnp.array([0, 1], jnp.int32), win)
+    w11 = _int_windows(img, tl0 + jnp.array([1, 1], jnp.int32), win)
+    return (
+        w00 * (1 - fx) * (1 - fy)
+        + w01 * fx * (1 - fy)
+        + w10 * (1 - fx) * fy
+        + w11 * fx * fy
+    )
+
+
+def _track_level(img0, img1, pos, guess, win, iters, min_eig_threshold):
     """One pyramid level for all K corners.
 
-    pos: (K, 2) corner coords at THIS level; guess: (K, 2) incoming flow.
-    Returns (flow (K, 2), ok (K,)).
+    pos: (K, 2) [x, y] corner coords at THIS level; guess: (K, 2) incoming
+    flow.  Returns (flow (K, 2), ok (K,), updatable (K,)).  Corners whose
+    source window leaves this level's image keep their incoming guess
+    (``dynamic_slice`` would silently clamp and corrupt the solve).
     """
+    H, W = img0.shape
+    r = win // 2
     ix, iy = _scharr(img0)
 
-    ox = offsets[:, 0][None, :]  # (1, win2)
-    oy = offsets[:, 1][None, :]
-    px = pos[:, 0][:, None] + ox  # (K, win2)
-    py = pos[:, 1][:, None] + oy
+    tl0 = pos - r  # float top-left of the I0 window
+    in_bounds = (
+        (tl0[:, 0] >= 0)
+        & (tl0[:, 1] >= 0)
+        & (tl0[:, 0] + win < W)
+        & (tl0[:, 1] + win < H)
+    )
+    w_i0 = _subpix_windows(img0, tl0, win)
+    w_ix = _subpix_windows(ix, tl0, win)
+    w_iy = _subpix_windows(iy, tl0, win)
 
-    w_i0 = _bilinear(img0, px, py)
-    w_ix = _bilinear(ix, px, py)
-    w_iy = _bilinear(iy, px, py)
-
-    gxx = jnp.sum(w_ix * w_ix, axis=1)
-    gxy = jnp.sum(w_ix * w_iy, axis=1)
-    gyy = jnp.sum(w_iy * w_iy, axis=1)
+    gxx = jnp.sum(w_ix * w_ix, axis=(1, 2))
+    gxy = jnp.sum(w_ix * w_iy, axis=(1, 2))
+    gyy = jnp.sum(w_iy * w_iy, axis=(1, 2))
     det = gxx * gyy - gxy * gxy
     tr = gxx + gyy
     min_eig = 0.5 * (tr - jnp.sqrt(jnp.maximum(tr * tr - 4.0 * det, 0.0)))
-    ok = min_eig / offsets.shape[0] > min_eig_threshold
+    ok = min_eig / (win * win) > min_eig_threshold
+    update = ok & in_bounds
     safe_det = jnp.where(det == 0, 1.0, det)
+    max_step = float(win)  # a sane Newton step never exceeds the window
 
     def body(_, d):
-        qx = px + d[:, 0][:, None]
-        qy = py + d[:, 1][:, None]
-        w_i1 = _bilinear(img1, qx, qy)
+        w_i1 = _subpix_windows(img1, tl0 + d, win)
         diff = w_i0 - w_i1
-        bx = jnp.sum(diff * w_ix, axis=1)
-        by = jnp.sum(diff * w_iy, axis=1)
+        bx = jnp.sum(diff * w_ix, axis=(1, 2))
+        by = jnp.sum(diff * w_iy, axis=(1, 2))
         dx = (gyy * bx - gxy * by) / safe_det
         dy = (gxx * by - gxy * bx) / safe_det
-        step = jnp.stack([dx, dy], axis=-1)
-        return d + jnp.where(ok[:, None], step, 0.0)
+        step = jnp.clip(jnp.stack([dx, dy], axis=-1), -max_step, max_step)
+        return d + jnp.where(update[:, None], step, 0.0)
 
     flow = jax.lax.fori_loop(0, iters, body, guess)
-    return flow, ok
+    return flow, ok, in_bounds
 
 
 def pyramid_lk(
@@ -130,22 +152,19 @@ def pyramid_lk(
     pyr0 = build_pyramid(gray0, levels)
     pyr1 = build_pyramid(gray1, levels)
 
-    r = win // 2
-    o = jnp.arange(-r, r + 1, dtype=jnp.float32)
-    offsets = jnp.stack(
-        [jnp.tile(o, win), jnp.repeat(o, win)], axis=-1
-    )  # (win2, 2) [x, y]
-
     K = positions.shape[0]
     flow = jnp.zeros((K, 2), jnp.float32)
     ok = mask
     for lvl in reversed(range(levels)):
         scale = 2.0**lvl
         pos_l = positions / scale
-        flow, ok_l = _track_level(
-            pyr0[lvl], pyr1[lvl], pos_l, flow, offsets, iters, min_eig_threshold
+        flow, ok_l, in_bounds = _track_level(
+            pyr0[lvl], pyr1[lvl], pos_l, flow, win, iters, min_eig_threshold
         )
-        ok = ok & ok_l
+        if lvl == 0:
+            # at full resolution the window must be valid; coarser levels may
+            # legitimately lose border corners (the guess passes through)
+            ok = ok & ok_l & in_bounds
         if lvl > 0:
             flow = flow * 2.0
 
@@ -159,10 +178,10 @@ def pyramid_lk(
     )
 
     # forward residual check: mean abs window difference at the solution
-    px = positions[:, 0][:, None] + offsets[:, 0][None, :]
-    py = positions[:, 1][:, None] + offsets[:, 1][None, :]
-    w0 = _bilinear(gray0, px, py)
-    w1 = _bilinear(gray1, px + flow[:, 0][:, None], py + flow[:, 1][:, None])
-    residual = jnp.mean(jnp.abs(w0 - w1), axis=1)
+    r = win // 2
+    tl = positions - r
+    w0 = _subpix_windows(gray0, tl, win)
+    w1 = _subpix_windows(gray1, tl + flow, win)
+    residual = jnp.mean(jnp.abs(w0 - w1), axis=(1, 2))
 
     return flow, ok & inside & (residual < max_residual)
