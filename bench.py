@@ -58,7 +58,7 @@ def measure_generation(pop, reps, backend_note=""):
         h=H,
         c_dim=3,
         gradient=1,
-        use_pallas=(jax.default_backend() == "tpu"),
+        use_pallas=os.environ.get("BENCH_PALLAS", "0") == "1",
         microbatch=MICROBATCH,
     )
     evaluator = GenerationEvaluator(cfg, params, neat_cfg)

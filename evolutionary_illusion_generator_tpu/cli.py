@@ -1,0 +1,83 @@
+"""Command-line interface.
+
+Flag parity with the reference CLI (generate_illusion.py:722-771):
+``--model --output_dir --structure --config --checkpoint --size
+--color_space --channels --gradient`` with the same defaults and the same
+small=160x120 / big=640x480 size presets — plus the TPU build's extra knobs
+(generations, seed, device scoring, microbatching).
+
+Run as ``python -m evolutionary_illusion_generator_tpu.cli [...]``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from typing import List, Optional
+
+from .evolution.driver import neat_illusion
+from .structure import StructureType
+
+__all__ = ["main", "build_parser", "string_to_intarray"]
+
+
+def string_to_intarray(string_input: str) -> List[int]:
+    """'3,48,96,192' -> [3, 48, 96, 192] (generate_illusion.py:714-719)."""
+    return [int(x) for x in string_input.split(",")]
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(description="generate illusions (TPU)")
+    parser.add_argument("--model", "-m", default="", help=".model / .npz predictor weights (empty = seeded stand-in)")
+    parser.add_argument("--output_dir", "-o", default=".", help="path of output directory")
+    parser.add_argument(
+        "--structure", "-s", default=0, type=int,
+        help="Type of illusion. 0: Bands; 1: Circles; 2: Free form; 3: CirclesFree",
+    )
+    parser.add_argument("--config", "-cfg", default="", help="NEAT config file path or preset name")
+    parser.add_argument("--checkpoint", "-cp", help="path of checkpoint to restore")
+    parser.add_argument("--size", "-wh", default="small", help="big or small (640x480 / 160x120)")
+    parser.add_argument("--color_space", "-c", default=3, type=int, help="1 for greyscale, 3 for rgb")
+    parser.add_argument("--channels", "-ch", default="3,48,96,192", help="channels per predictor layer")
+    parser.add_argument("--gradient", "-g", default=1, type=int, help="1 to use gradients, 0 for pure colors")
+    # TPU-build extensions
+    parser.add_argument("--generations", default=100, type=int, help="max generations per run")
+    parser.add_argument("--seed", default=0, type=int, help="run RNG seed")
+    parser.add_argument("--checkpoint_every", default=1, type=int, help="checkpoint cadence (reference: 100)")
+    parser.add_argument("--score_on_device", action="store_true", help="score fitness on device (f32) instead of host f64")
+    parser.add_argument("--use_pallas", action="store_true", help="use the Pallas gate kernel")
+    parser.add_argument("--microbatch", default=0, type=int, help="population microbatch size (memory bound)")
+    return parser
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    args = build_parser().parse_args(argv)
+
+    w, h = (640, 480) if args.size == "big" else (160, 120)
+    config = args.config if args.config else None
+
+    print("config", config if config else "<auto-selected preset>")
+    print("gradient", args.gradient)
+    neat_illusion(
+        args.output_dir,
+        args.model or None,
+        config,
+        StructureType(args.structure),
+        w,
+        h,
+        string_to_intarray(args.channels),
+        args.color_space,
+        args.checkpoint,
+        args.gradient,
+        generations=args.generations,
+        seed=args.seed,
+        checkpoint_every=args.checkpoint_every,
+        score_on_device=args.score_on_device,
+        use_pallas=args.use_pallas,
+        microbatch=args.microbatch,
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,118 @@
+"""Single-image probes.
+
+Parity targets:
+  * ``get_vectors(image_path, model_name, channels, w, h)`` — the
+    single-image pipeline of fitness_calculator.py:468-502: 20 repeats + 2
+    closed-loop extension frames through the predictor, then flow between
+    the INPUT image and the second extension frame (the probe flow-pair
+    convention, SURVEY.md Appendix C #9).
+  * the ``test.py`` CLI probe (test.py:115-124): image -> vectors ->
+    swarm score printed to stdout.
+  * the notebook single-image scoring path (cells 16-18): LANCZOS resize +
+    white-pad to the target size, then ``calculate_fitness``.
+
+Run as ``python -m evolutionary_illusion_generator_tpu.evolution.probe``.
+"""
+
+from __future__ import annotations
+
+import argparse
+from typing import List, Optional, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+from PIL import Image
+
+from ..models.prednet.loader import load_or_init
+from ..models.prednet.model import rollout_flow_frames
+from ..ops.fitness.calculate import calculate_fitness
+from ..ops.fitness.metrics_np import swarm_score
+from ..ops.flow.api import FlowConfig, flow_vectors
+from ..ops.flow.pyramid import to_gray
+from ..structure import StructureType
+from ..utils.image_io import load_image
+
+__all__ = ["get_vectors", "score_image", "pad_to_size", "main"]
+
+
+def get_vectors(
+    image_path: str,
+    model_name: Optional[str],
+    channels: Sequence[int] = (3, 48, 96, 192),
+    w: int = 160,
+    h: int = 120,
+    *,
+    repeat: int = 20,
+    extension: int = 2,
+    flow: FlowConfig = FlowConfig(),
+    seed: int = 0,
+):
+    """Flow vectors for one image through the probe pipeline.
+
+    Returns an (N, 4) numpy array of [x, y, dx, dy] rows (empty when
+    nothing was trackable — the reference returns ``[None]`` then).
+    """
+    c_dim = channels[0]
+    params = load_or_init(model_name, list(channels), seed=seed)
+    img = load_image(image_path, size=(w, h), c_dim=c_dim)
+    batch = jnp.asarray(img)[None]
+    f0, f1 = rollout_flow_frames(
+        params, batch, repeat=repeat, extension=extension, pair="probe"
+    )
+    vec, mask = flow_vectors(to_gray(f0[0]), to_gray(f1[0]), flow)
+    return np.asarray(vec)[np.asarray(mask)]
+
+
+def pad_to_size(image: Image.Image, w: int = 160, h: int = 120) -> Image.Image:
+    """LANCZOS resize preserving aspect, white-pad to exactly (w, h) — the
+    notebook's preprocessing (illusion_generation.ipynb cell 16)."""
+    scale = min(w / image.width, h / image.height)
+    nw, nh = int(round(image.width * scale)), int(round(image.height * scale))
+    resized = image.resize((nw, nh), Image.LANCZOS)
+    canvas = Image.new("RGB", (w, h), (255, 255, 255))
+    canvas.paste(resized, ((w - nw) // 2, (h - nh) // 2))
+    return canvas
+
+
+def score_image(
+    image_path: str,
+    structure: int = StructureType.Circles,
+    model_name: Optional[str] = None,
+    channels: Sequence[int] = (3, 48, 96, 192),
+    w: int = 160,
+    h: int = 120,
+    **kwargs,
+) -> float:
+    """Notebook-cell-18 equivalent: vectors + calculate_fitness."""
+    vectors = get_vectors(image_path, model_name, channels, w, h, **kwargs)
+    if vectors.size == 0:
+        return 0.0
+    return calculate_fitness(structure, vectors, image_path, w, h)
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    parser = argparse.ArgumentParser(description="single-image probe")
+    parser.add_argument("--model", "-m", default="", help=".model/.npz file")
+    parser.add_argument("--input_image", "-i", default="")
+    parser.add_argument("--structure", "-s", type=int, default=None,
+                        help="also print the structure fitness score")
+    args = parser.parse_args(argv)
+
+    vectors = get_vectors(args.input_image, args.model or None)
+    if vectors.size == 0:
+        print("score", 0.0)
+        return 0
+    score = swarm_score(vectors)
+    print("score", score)
+    if args.structure is not None:
+        print(
+            "fitness",
+            calculate_fitness(args.structure, vectors, args.input_image, 160, 120),
+        )
+    return 0
+
+
+if __name__ == "__main__":
+    import sys
+
+    sys.exit(main())

@@ -5,14 +5,14 @@ The ConvLSTM cell update after the gate conv is a pure elementwise chain:
     i,f,o,g = split(gates); c = sigmoid(f)*c_prev + sigmoid(i)*tanh(g);
     h = sigmoid(o)*tanh(c)
 
-Done op-by-op this makes multiple HBM round-trips over (B, H, W, 4C) + two
-(B, H, W, C) tensors — pure bandwidth.  This kernel reads each operand once
-and writes h and c once, tiled over rows to stay inside VMEM.  It is
-bandwidth-bound by construction (one pass), i.e. speed-of-light for this op;
-the convs feeding it stay in XLA where the MXU conv emitter is optimal.
-
-Used by models/prednet via ``use_pallas=True``; the jnp fallback computes
-identical math (parity-tested in interpret mode on CPU).
+This kernel reads each operand once and writes h and c once, tiled over
+rows (double-buffered) to stay inside VMEM — bandwidth-bound by
+construction.  Measured on v5e it performs within ~20% of XLA's own fusion
+of the equivalent jnp chain (XLA already fuses elementwise chains into one
+pass), so the jnp path is the DEFAULT and this kernel is an opt-in
+(``use_pallas=True``) kept as the hand-tuned comparison point; the convs
+feeding it stay in XLA where the MXU conv emitter is optimal.  Parity with
+the jnp path is tested in interpret mode on CPU.
 """
 
 from __future__ import annotations
@@ -40,9 +40,16 @@ def _gates_kernel(gates_ref, c_prev_ref, h_ref, c_ref):
 
 
 def _row_tile(h: int, w: int, c: int, vmem_budget_bytes: int = 8 * 1024 * 1024) -> int:
-    """Rows per tile so (rows, W, 6C) f32 operands fit the VMEM budget."""
-    bytes_per_row = w * c * 4 * 6  # gates(4C) + c_prev(C) + h/c out (~C each)
+    """Rows per tile so all blocks fit VMEM.
+
+    Per tile the kernel holds gates (4C) + c_prev (C) + h/c outputs (2C) in
+    f32, and Pallas double-buffers every block for the grid pipeline — 7C
+    floats x2 per row of W pixels.
+    """
+    bytes_per_row = w * c * 4 * 7 * 2
     rows = max(1, vmem_budget_bytes // max(1, bytes_per_row))
+    if rows >= 8:
+        rows = (rows // 8) * 8  # sublane alignment
     return min(h, rows)
 
 
