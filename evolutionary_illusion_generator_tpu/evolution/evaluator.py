@@ -107,41 +107,48 @@ class GenerationEvaluator:
         cfg = self.cfg
 
         def run(packed, params):
-            outs = evaluate_population(
-                packed["weights"],
-                packed["bias"],
-                packed["response"],
-                packed["act_id"],
-                packed["out_slot"],
-                self._grid_flat,
-            )  # (pop, O, P)
-            imgs_u8 = render_images(
-                outs, self._x_mat, cfg.c_dim, bg=cfg.bg, gradient=cfg.gradient
-            )
-            imgs = to_unit_float(imgs_u8)
-
-            def flow_of(img_chunk):
+            def eval_chunk(chunk):
+                """Full per-candidate pipeline for a population chunk —
+                bounding peak HBM (CPPN value buffers + PredNet states scale
+                with the chunk, not the population)."""
+                outs = evaluate_population(
+                    chunk["weights"],
+                    chunk["bias"],
+                    chunk["response"],
+                    chunk["act_id"],
+                    chunk["out_slot"],
+                    self._grid_flat,
+                )  # (mb, O, P)
+                imgs_u8 = render_images(
+                    outs, self._x_mat, cfg.c_dim, bg=cfg.bg, gradient=cfg.gradient
+                )
+                imgs = to_unit_float(imgs_u8)
                 f0, f1 = rollout_flow_frames(
                     params,
-                    img_chunk,
+                    imgs,
                     repeat=cfg.repeat,
                     extension=cfg.extension,
                     pair="population",
                     use_pallas=cfg.use_pallas,
                 )
-                return batched_flow(f0, f1, cfg.flow) + (f0,)
+                vectors, vmask = batched_flow(f0, f1, cfg.flow)
+                return imgs_u8, vectors, vmask, f0
 
-            if cfg.microbatch and cfg.microbatch < imgs.shape[0]:
+            pop = packed["weights"].shape[0]
+            if cfg.microbatch and cfg.microbatch < pop:
                 mb = cfg.microbatch
-                n = imgs.shape[0] // mb
-                assert imgs.shape[0] % mb == 0, (imgs.shape[0], mb)
-                chunks = imgs.reshape(n, mb, *imgs.shape[1:])
-                vecs, masks, f0s = jax.lax.map(flow_of, chunks)
-                vectors = vecs.reshape(-1, *vecs.shape[2:])
-                vmask = masks.reshape(-1, *masks.shape[2:])
-                f0 = f0s.reshape(-1, *f0s.shape[2:])
+                assert pop % mb == 0, (pop, mb)
+                n = pop // mb
+                chunks = {
+                    k: v.reshape(n, mb, *v.shape[1:]) for k, v in packed.items()
+                }
+                imgs_u8, vectors, vmask, f0 = jax.lax.map(eval_chunk, chunks)
+                imgs_u8 = imgs_u8.reshape(-1, *imgs_u8.shape[2:])
+                vectors = vectors.reshape(-1, *vectors.shape[2:])
+                vmask = vmask.reshape(-1, *vmask.shape[2:])
+                f0 = f0.reshape(-1, *f0.shape[2:])
             else:
-                vectors, vmask, f0 = flow_of(imgs)
+                imgs_u8, vectors, vmask, f0 = eval_chunk(packed)
 
             out = {
                 "images_u8": imgs_u8,

@@ -24,7 +24,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-__all__ = ["render_images", "to_unit_float"]
+__all__ = ["render_images", "render_equilum_images", "to_unit_float", "hsv_to_rgb"]
 
 
 def render_images(node_outputs, x_mat, c_dim, bg=1, gradient=1):
@@ -70,3 +70,38 @@ def render_images(node_outputs, x_mat, c_dim, bg=1, gradient=1):
 def to_unit_float(images_u8, dtype=jnp.float32):
     """uint8 images -> [0, 1] floats (the PNG-decode the predictor sees)."""
     return images_u8.astype(dtype) / 255.0
+
+
+def hsv_to_rgb(hsv):
+    """Vectorized HSV -> RGB on [0, 1] floats, last axis = (h, s, v)."""
+    h, s, v = hsv[..., 0], hsv[..., 1], hsv[..., 2]
+    i = jnp.floor(h * 6.0)
+    f = h * 6.0 - i
+    p = v * (1.0 - s)
+    q = v * (1.0 - s * f)
+    t = v * (1.0 - s * (1.0 - f))
+    i = i.astype(jnp.int32) % 6
+    r = jnp.select([i == k for k in range(6)], [v, q, p, p, t, v])
+    g = jnp.select([i == k for k in range(6)], [t, v, v, q, p, p])
+    b = jnp.select([i == k for k in range(6)], [p, p, t, v, v, q])
+    return jnp.stack([r, g, b], axis=-1)
+
+
+def render_equilum_images(node_outputs, x_mat, bg=1):
+    """Equiluminant (HSV) rasterizer.
+
+    Functional rebuild of the reference's dead ``get_equilum_image_from_cppn``
+    (generate_illusion.py:333-367; its call is commented out at :511): three
+    output nodes are interpreted as H, S, V, background-masked, then
+    converted to RGB.  The reference applied ``colorsys.hsv_to_rgb`` to the
+    whole array at once — which cannot run as written; this is the working
+    per-pixel conversion it intended.
+    """
+    h, w = x_mat.shape
+    pop = node_outputs.shape[0]
+    mask = (x_mat == -1.0)[None, :, :, None]
+    hsv = node_outputs[:, :3, :].reshape(pop, 3, h, w)
+    hsv = jnp.moveaxis(hsv, 1, -1)
+    hsv = jnp.where(mask, float(bg), jnp.clip(hsv, 0.0, 1.0))
+    rgb = hsv_to_rgb(hsv)
+    return (rgb * 255.0).astype(jnp.uint8)
