@@ -47,11 +47,37 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--score_on_device", action="store_true", help="score fitness on device (f32) instead of host f64")
     parser.add_argument("--use_pallas", action="store_true", help="use the Pallas gate kernel")
     parser.add_argument("--microbatch", default=0, type=int, help="population microbatch size (memory bound)")
+    parser.add_argument("--preset", default="", help="named run preset (BASELINE config point); overrides size/structure flags")
+    parser.add_argument("--profile_dir", default="", help="dump a jax.profiler trace of generation 1 here")
     return parser
 
 
 def main(argv: Optional[List[str]] = None) -> int:
     args = build_parser().parse_args(argv)
+
+    common = dict(
+        generations=args.generations,
+        seed=args.seed,
+        score_on_device=args.score_on_device,
+        use_pallas=args.use_pallas,
+        profile_dir=args.profile_dir or None,
+    )
+
+    if args.preset:
+        from .configs import run_preset
+
+        rp = run_preset(args.preset)
+        kwargs = rp.driver_kwargs()
+        kwargs["checkpoint"] = args.checkpoint
+        print("run preset", rp.name)
+        neat_illusion(
+            args.output_dir,
+            args.model or None,
+            n_devices=rp.n_devices,
+            **kwargs,
+            **common,
+        )
+        return 0
 
     w, h = (640, 480) if args.size == "big" else (160, 120)
     config = args.config if args.config else None
@@ -69,12 +95,9 @@ def main(argv: Optional[List[str]] = None) -> int:
         args.color_space,
         args.checkpoint,
         args.gradient,
-        generations=args.generations,
-        seed=args.seed,
-        checkpoint_every=args.checkpoint_every,
-        score_on_device=args.score_on_device,
-        use_pallas=args.use_pallas,
         microbatch=args.microbatch,
+        checkpoint_every=args.checkpoint_every,
+        **common,
     )
     return 0
 

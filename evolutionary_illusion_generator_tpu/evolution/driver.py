@@ -77,6 +77,8 @@ def neat_illusion(
     flow: Optional[FlowConfig] = None,
     save_artifacts: bool = True,
     quiet: bool = False,
+    n_devices: Optional[int] = None,
+    profile_dir: Optional[str] = None,
 ) -> Population:
     """Evolve illusions for up to ``generations`` generations.
 
@@ -104,7 +106,13 @@ def neat_illusion(
         use_pallas=use_pallas,
         microbatch=microbatch,
     )
-    evaluator = GenerationEvaluator(eval_cfg, params, neat_cfg)
+    if n_devices is not None and n_devices > 1:
+        from ..parallel import ShardedGenerationEvaluator, make_mesh
+
+        mesh = make_mesh(n_devices)
+        evaluator = ShardedGenerationEvaluator(eval_cfg, params, neat_cfg, mesh)
+    else:
+        evaluator = GenerationEvaluator(eval_cfg, params, neat_cfg)
 
     if checkpoint:
         pop = restore_checkpoint(checkpoint)
@@ -120,8 +128,12 @@ def neat_illusion(
     ckpt.attach(pop)
     pop.add_reporter(ckpt)
 
+    from ..utils.profiling import trace
+
     def eval_genomes(genome_items, cfg):
-        evaluator(genome_items, cfg)
+        # profile the steady-state program: generation 1 (gen 0 compiles)
+        with trace(profile_dir if pop.generation == 1 else None):
+            evaluator(genome_items, cfg)
         if save_artifacts:
             res = evaluator.last_results
             i = res["best_idx"]
