@@ -109,7 +109,7 @@ def _presets():
             gradient=1,
             channels=(3, 48, 96, 192),
             neat=neat_preset("free").replace(pop_size=256, num_outputs=3),
-            microbatch=8,  # per chip: 256/8 = 32 candidates, chunks of 8
+            microbatch=64,  # global chunk; 64/8 chips = 8 candidates per chip
             n_devices=8,
             checkpoint_every=1,
         ),

@@ -63,6 +63,9 @@ class EvalConfig:
     extension: int = 2  # closed-loop frames (:531)
     flow: FlowConfig = field(default_factory=FlowConfig)
     score_on_device: bool = False
+    # host scoring backend: "auto" (C++ if buildable, else numpy),
+    # "native", or "numpy"
+    score_backend: str = "auto"
     use_pallas: bool = False
     # population microbatching bound (memory); 0 = whole population at once
     microbatch: int = 0
@@ -103,53 +106,35 @@ class GenerationEvaluator:
     # ------------------------------------------------------------------
 
     def _build_run(self):
-        """The raw (unjitted) generation device program."""
+        """The raw (unjitted) generation device program for one chunk (or
+        the whole population when unchunked)."""
         cfg = self.cfg
 
-        def run(packed, params):
-            def eval_chunk(chunk):
-                """Full per-candidate pipeline for a population chunk —
-                bounding peak HBM (CPPN value buffers + PredNet states scale
-                with the chunk, not the population)."""
-                outs = evaluate_population(
-                    chunk["weights"],
-                    chunk["bias"],
-                    chunk["response"],
-                    chunk["act_id"],
-                    chunk["out_slot"],
-                    self._grid_flat,
-                )  # (mb, O, P)
-                imgs_u8 = render_images(
-                    outs, self._x_mat, cfg.c_dim, bg=cfg.bg, gradient=cfg.gradient
-                )
-                imgs = to_unit_float(imgs_u8)
-                f0, f1 = rollout_flow_frames(
-                    params,
-                    imgs,
-                    repeat=cfg.repeat,
-                    extension=cfg.extension,
-                    pair="population",
-                    use_pallas=cfg.use_pallas,
-                )
-                vectors, vmask = batched_flow(f0, f1, cfg.flow)
-                return imgs_u8, vectors, vmask, f0
-
-            pop = packed["weights"].shape[0]
-            if cfg.microbatch and cfg.microbatch < pop:
-                mb = cfg.microbatch
-                assert pop % mb == 0, (pop, mb)
-                n = pop // mb
-                chunks = {
-                    k: v.reshape(n, mb, *v.shape[1:]) for k, v in packed.items()
-                }
-                imgs_u8, vectors, vmask, f0 = jax.lax.map(eval_chunk, chunks)
-                imgs_u8 = imgs_u8.reshape(-1, *imgs_u8.shape[2:])
-                vectors = vectors.reshape(-1, *vectors.shape[2:])
-                vmask = vmask.reshape(-1, *vmask.shape[2:])
-                f0 = f0.reshape(-1, *f0.shape[2:])
-            else:
-                imgs_u8, vectors, vmask, f0 = eval_chunk(packed)
-
+        def eval_chunk(chunk, params):
+            """Full per-candidate pipeline for a population chunk —
+            bounding peak HBM (CPPN value buffers + PredNet states scale
+            with the chunk, not the population)."""
+            outs = evaluate_population(
+                chunk["weights"],
+                chunk["bias"],
+                chunk["response"],
+                chunk["act_id"],
+                chunk["out_slot"],
+                self._grid_flat,
+            )  # (mb, O, P)
+            imgs_u8 = render_images(
+                outs, self._x_mat, cfg.c_dim, bg=cfg.bg, gradient=cfg.gradient
+            )
+            imgs = to_unit_float(imgs_u8)
+            f0, f1 = rollout_flow_frames(
+                params,
+                imgs,
+                repeat=cfg.repeat,
+                extension=cfg.extension,
+                pair="population",
+                use_pallas=cfg.use_pallas,
+            )
+            vectors, vmask = batched_flow(f0, f1, cfg.flow)
             out = {
                 "images_u8": imgs_u8,
                 "vectors": vectors,
@@ -163,7 +148,7 @@ class GenerationEvaluator:
                 out["scores"] = jax.vmap(score_one)(vectors, vmask)
             return out
 
-        return run
+        return eval_chunk
 
     def _device_fn(self, pop_bucket: int, node_bucket: int):
         key = (pop_bucket, node_bucket)
@@ -176,24 +161,61 @@ class GenerationEvaluator:
     def evaluate_images(self, genomes: Sequence[Genome]):
         """Device pipeline only; returns dict of host numpy arrays
         (images_u8, vectors, mask, flow_frame0[, scores]) truncated to the
-        real population size."""
+        real population size.
+
+        With ``cfg.microbatch`` set, the population is chunked at the HOST
+        level: XLA compiles ONE chunk-sized program (regardless of
+        population size — no pop-bucket recompiles) and it is dispatched
+        per chunk; peak HBM scales with the chunk."""
         n = len(genomes)
-        pop_bucket = _bucket(n, self._pop_min)
         # grow the node bucket first if any genome outgrew it
         need = max(len(required_nodes(g, self.neat_cfg)) for g in genomes)
         while self._node_bucket < need:
             self._node_bucket *= 2
+
+        mb = self.cfg.microbatch
+        chunk = min(mb, _bucket(n, self._pop_min)) if mb else _bucket(
+            n, self._pop_min
+        )
         packed = pack_population(genomes, self.neat_cfg, self._node_bucket)
-        if n < pop_bucket:
-            pad = pop_bucket - n
+        padded = -(-n // chunk) * chunk
+        if n < padded:
+            pad = padded - n
             packed = {
                 k: np.concatenate([v, np.repeat(v[-1:], pad, axis=0)])
                 for k, v in packed.items()
             }
-        packed = {k: jnp.asarray(v) for k, v in packed.items()}
-        fn = self._device_fn(pop_bucket, self._node_bucket)
-        out = fn(packed, self.params)
-        return {k: np.asarray(v)[:n] for k, v in out.items()}
+
+        fn = self._device_fn(chunk, self._node_bucket)
+        pieces = []
+        for start in range(0, padded, chunk):
+            part = {
+                k: jnp.asarray(v[start : start + chunk]) for k, v in packed.items()
+            }
+            pieces.append(fn(part, self.params))
+        keys = pieces[0].keys()
+        out = {
+            k: np.concatenate([np.asarray(p[k]) for p in pieces]) for k in keys
+        }
+        return {k: v[:n] for k, v in out.items()}
+
+    def _score_host(self, vectors: np.ndarray, mask: np.ndarray) -> np.ndarray:
+        """Exact f64 host scoring — C++ batch scorer when available."""
+        backend = self.cfg.score_backend
+        if backend in ("auto", "native"):
+            from ..ops.fitness.native import is_available, score_population_native
+
+            if is_available():
+                return score_population_native(
+                    int(self.cfg.structure), vectors, mask, self.cfg.w, self.cfg.h
+                )
+            if backend == "native":
+                raise RuntimeError("native fitness scorer unavailable")
+        scores = np.zeros(len(vectors))
+        for i in range(len(vectors)):
+            v = vectors[i][mask[i]]
+            scores[i] = score_vectors(self.cfg.structure, v, self.cfg.w, self.cfg.h)
+        return scores
 
     def __call__(self, population: List[Tuple[int, Genome]], neat_cfg=None):
         """Fitness-function interface for :class:`..neat.Population`."""
@@ -206,10 +228,7 @@ class GenerationEvaluator:
         if cfg.score_on_device:
             scores = out["scores"].astype(np.float64)
         else:
-            scores = np.zeros(len(genomes))
-            for i in range(len(genomes)):
-                v = out["vectors"][i][out["mask"][i]]
-                scores[i] = score_vectors(cfg.structure, v, cfg.w, cfg.h)
+            scores = self._score_host(out["vectors"], out["mask"])
         t2 = time.time()
 
         best_idx = 0

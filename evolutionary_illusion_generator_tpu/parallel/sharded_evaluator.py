@@ -42,6 +42,10 @@ class ShardedGenerationEvaluator(GenerationEvaluator):
         key = ("sharded", pop_bucket, node_bucket)
         if key in self._jitted:
             return self._jitted[key]
+        assert pop_bucket % self.mesh.devices.size == 0, (
+            f"chunk {pop_bucket} must divide over {self.mesh.devices.size} "
+            f"devices (set microbatch to a multiple of the mesh size)"
+        )
         raw = self._build_run()
 
         packed_shard = {
