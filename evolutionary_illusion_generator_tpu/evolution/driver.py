@@ -139,11 +139,12 @@ def neat_illusion(
             i = res["best_idx"]
             best_genome = genome_items[i][1]
             vectors = res["vectors"][i][res["mask"][i]]
+            # only the winner's image/flow frame leave the device
             save_best_artifacts(
                 best_genome,
-                res["images_u8"][i],
+                res["outputs"].fetch("images_u8", i),
                 vectors,
-                res["flow_frame0"][i],
+                res["outputs"].fetch("flow_frame0", i),
                 neat_cfg,
                 structure,
                 c_dim,

@@ -71,6 +71,51 @@ class EvalConfig:
     microbatch: int = 0
 
 
+class GenerationOutputs:
+    """Results of one generation's device pipeline.
+
+    Small per-candidate data (flow vectors, masks, device scores) transfers
+    eagerly; bulky tensors (rendered images, flow frames) stay in HBM and
+    are fetched row-by-row on demand — per generation the host sees a few
+    hundred KB instead of hundreds of MB.
+    """
+
+    SMALL = ("vectors", "mask", "scores")
+
+    def __init__(self, chunks, chunk_size: int, n: int) -> None:
+        self._chunks = chunks  # list of dicts of device arrays
+        self._chunk_size = chunk_size
+        self._n = n
+
+    def __len__(self) -> int:
+        return self._n
+
+    def small(self) -> Dict[str, np.ndarray]:
+        """Host copies of the small outputs, truncated to the population."""
+        out = {}
+        for k in self._chunks[0]:
+            if k in self.SMALL:
+                out[k] = np.concatenate(
+                    [np.asarray(c[k]) for c in self._chunks]
+                )[: self._n]
+        return out
+
+    def fetch(self, key: str, i: int) -> np.ndarray:
+        """Host copy of one candidate's row of a bulky output."""
+        assert 0 <= i < self._n, i
+        c, r = divmod(i, self._chunk_size)
+        return np.asarray(self._chunks[c][key][r])
+
+    def to_numpy(self) -> Dict[str, np.ndarray]:
+        """Full host copy of everything (tests / debugging)."""
+        out = {}
+        for k in self._chunks[0]:
+            out[k] = np.concatenate(
+                [np.asarray(c[k]) for c in self._chunks]
+            )[: self._n]
+        return out
+
+
 class GenerationEvaluator:
     """Evaluates NEAT populations; assigns ``genome.fitness`` in place.
 
@@ -158,15 +203,16 @@ class GenerationEvaluator:
 
     # ------------------------------------------------------------------
 
-    def evaluate_images(self, genomes: Sequence[Genome]):
-        """Device pipeline only; returns dict of host numpy arrays
-        (images_u8, vectors, mask, flow_frame0[, scores]) truncated to the
-        real population size.
+    def evaluate_images(self, genomes: Sequence[Genome]) -> "GenerationOutputs":
+        """Run the device pipeline; returns :class:`GenerationOutputs`.
 
         With ``cfg.microbatch`` set, the population is chunked at the HOST
         level: XLA compiles ONE chunk-sized program (regardless of
         population size — no pop-bucket recompiles) and it is dispatched
-        per chunk; peak HBM scales with the chunk."""
+        per chunk; peak HBM scales with the chunk.  Bulky per-candidate
+        tensors (images, flow frames) STAY ON DEVICE — callers fetch
+        individual rows (e.g. the generation winner) on demand; only the
+        (pop, K, 4) vectors and masks transfer per generation."""
         n = len(genomes)
         # grow the node bucket first if any genome outgrew it
         need = max(len(required_nodes(g, self.neat_cfg)) for g in genomes)
@@ -193,11 +239,7 @@ class GenerationEvaluator:
                 k: jnp.asarray(v[start : start + chunk]) for k, v in packed.items()
             }
             pieces.append(fn(part, self.params))
-        keys = pieces[0].keys()
-        out = {
-            k: np.concatenate([np.asarray(p[k]) for p in pieces]) for k in keys
-        }
-        return {k: v[:n] for k, v in out.items()}
+        return GenerationOutputs(pieces, chunk, n)
 
     def _score_host(self, vectors: np.ndarray, mask: np.ndarray) -> np.ndarray:
         """Exact f64 host scoring — C++ batch scorer when available."""
@@ -222,13 +264,14 @@ class GenerationEvaluator:
         cfg = self.cfg
         genomes = [g for _, g in population]
         t0 = time.time()
-        out = self.evaluate_images(genomes)
+        outputs = self.evaluate_images(genomes)
+        small = outputs.small()  # vectors + masks (+ device scores): ~KBs
         t1 = time.time()
 
         if cfg.score_on_device:
-            scores = out["scores"].astype(np.float64)
+            scores = small["scores"].astype(np.float64)
         else:
-            scores = self._score_host(out["vectors"], out["mask"])
+            scores = self._score_host(small["vectors"], small["mask"])
         t2 = time.time()
 
         best_idx = 0
@@ -245,10 +288,9 @@ class GenerationEvaluator:
         self.last_results = {
             "best_idx": best_idx,
             "best_score": best_score,
-            "images_u8": out["images_u8"],
-            "vectors": out["vectors"],
-            "mask": out["mask"],
-            "flow_frame0": out["flow_frame0"],
+            "outputs": outputs,
+            "vectors": small["vectors"],
+            "mask": small["mask"],
             "scores": scores,
         }
         return scores

@@ -70,8 +70,8 @@ class TestShardedEvaluator:
         single = GenerationEvaluator(eval_cfg(), params, neat_cfg)
         sharded = ShardedGenerationEvaluator(eval_cfg(), params, neat_cfg, mesh)
 
-        out_s = single.evaluate_images(genomes)
-        out_m = sharded.evaluate_images(genomes)
+        out_s = single.evaluate_images(genomes).to_numpy()
+        out_m = sharded.evaluate_images(genomes).to_numpy()
         np.testing.assert_array_equal(out_s["images_u8"], out_m["images_u8"])
         np.testing.assert_array_equal(out_s["mask"], out_m["mask"])
         np.testing.assert_allclose(
