@@ -66,6 +66,11 @@ class EvalConfig:
     # host scoring backend: "auto" (C++ if buildable, else numpy),
     # "native", or "numpy"
     score_backend: str = "auto"
+    # Replace non-finite fitness scores with 0 (with a warning).  The
+    # reference propagates NaN (e.g. a zero-norm flow vector) straight into
+    # NEAT where it silently poisons max/mean comparisons; disable to
+    # reproduce that.
+    nan_to_zero: bool = True
     use_pallas: bool = False
     # population microbatching bound (memory); 0 = whole population at once
     microbatch: int = 0
@@ -272,6 +277,17 @@ class GenerationEvaluator:
             scores = small["scores"].astype(np.float64)
         else:
             scores = self._score_host(small["vectors"], small["mask"])
+        if cfg.nan_to_zero:
+            bad = ~np.isfinite(scores)
+            if bad.any():
+                import warnings
+
+                warnings.warn(
+                    f"{int(bad.sum())} non-finite fitness scores zeroed "
+                    f"(zero-norm flow vectors); set nan_to_zero=False for "
+                    f"reference NaN propagation"
+                )
+                scores = np.where(bad, 0.0, scores)
         t2 = time.time()
 
         best_idx = 0
