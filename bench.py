@@ -41,8 +41,9 @@ H = int(os.environ.get("BENCH_H", "480"))
 CHANNELS = (3, 48, 96, 192)
 REPS = int(os.environ.get("BENCH_REPS", "3"))
 # default microbatch: bound HBM at big configs (CPPN value buffers + PredNet
-# states scale with the chunk); 0 = whole population in one shot
-_auto_mb = "32" if W * H >= 640 * 480 else "0"
+# states scale with the chunk); 25 divides the pop-100 north-star config
+# exactly and measured fastest end to end; 0 = whole population in one shot
+_auto_mb = "25" if W * H >= 640 * 480 else "0"
 MICROBATCH = int(os.environ.get("BENCH_MICROBATCH", _auto_mb))
 BASELINE_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                               "BASELINE_SELF.json")
