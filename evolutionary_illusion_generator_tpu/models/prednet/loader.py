@@ -96,13 +96,23 @@ def load_chainer_model(
     return params
 
 
+def bundled_weights_path(channels: Sequence[int]) -> Optional[str]:
+    """Path of bundled pretrained stand-in weights for a channel stack
+    (trained on synthetic motion, see pretrain.py), or None."""
+    name = f"prednet_{'_'.join(str(c) for c in channels)}.npz"
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "weights", name)
+    return path if os.path.exists(path) else None
+
+
 def load_or_init(
     path: Optional[str],
     channels: Sequence[int],
     seed: int = 0,
     dtype=jnp.bfloat16,
 ) -> PredNetParams:
-    """Load a model file if given/readable, else deterministic random init."""
+    """Load a model file if given; else bundled stand-in weights for this
+    channel stack if shipped; else deterministic random init."""
     if path:
         if not os.path.exists(path):
             raise FileNotFoundError(path)
@@ -110,4 +120,7 @@ def load_or_init(
             return load_params(path, dtype)
         except ValueError:
             return load_chainer_model(path, channels, dtype)
+    bundled = bundled_weights_path(channels)
+    if bundled:
+        return load_params(bundled, dtype)
     return init_params(jax.random.PRNGKey(seed), channels, dtype=dtype)

@@ -1,0 +1,103 @@
+"""Predictor pretraining on synthetic motion.
+
+Produces the stand-in for the reference's externally-trained .model files:
+a PredNet with a motion prior, trained with the Lotter E-activity objective
+on translating-texture sequences (see synthetic_data.py).  Bundled weights
+under ``weights/`` are picked up automatically by ``load_or_init`` when no
+model path is given.
+
+    python -m evolutionary_illusion_generator_tpu.models.prednet.pretrain \
+        --channels 1,16,32,64 --steps 300 --out weights/...npz
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from .loader import save_params
+from .model import init_params
+from .train import init_opt_state, make_train_step
+from .synthetic_data import synthetic_motion_batch
+
+__all__ = ["pretrain", "main"]
+
+
+def pretrain(
+    channels: Sequence[int],
+    *,
+    steps: int = 300,
+    batch: int = 8,
+    T: int = 10,
+    h: int = 120,
+    w: int = 160,
+    lr: float = 2e-3,
+    seed: int = 0,
+    mesh=None,
+    log_every: int = 25,
+    verbose: bool = True,
+):
+    """Train a PredNet on synthetic motion; returns (params, final_loss)."""
+    key = jax.random.PRNGKey(seed)
+    params = init_params(key, channels)
+    tx = optax.adam(lr)
+    opt_state = init_opt_state(tx, params)
+    step_fn = make_train_step(tx, mesh=mesh)
+    data_fn = jax.jit(
+        lambda k: synthetic_motion_batch(k, batch, T, h, w, channels[0])
+    )
+
+    loss = None
+    t0 = time.time()
+    for i in range(steps):
+        key, k = jax.random.split(key)
+        frames = data_fn(k)
+        params, opt_state, loss = step_fn(params, opt_state, frames)
+        if verbose and (i % log_every == 0 or i == steps - 1):
+            print(
+                f"[pretrain] step {i:4d} loss {float(loss):.5f} "
+                f"({time.time() - t0:.1f}s)",
+                flush=True,
+            )
+    return params, float(loss)
+
+
+def main(argv: Optional[list] = None) -> int:
+    p = argparse.ArgumentParser(description="pretrain a stand-in predictor")
+    p.add_argument("--channels", default="1,16,32,64")
+    p.add_argument("--steps", type=int, default=300)
+    p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--frames", type=int, default=10)
+    p.add_argument("--height", type=int, default=120)
+    p.add_argument("--width", type=int, default=160)
+    p.add_argument("--lr", type=float, default=2e-3)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--out", default="")
+    args = p.parse_args(argv)
+
+    channels = [int(x) for x in args.channels.split(",")]
+    params, loss = pretrain(
+        channels,
+        steps=args.steps,
+        batch=args.batch,
+        T=args.frames,
+        h=args.height,
+        w=args.width,
+        lr=args.lr,
+        seed=args.seed,
+    )
+    out = args.out or f"prednet_{'_'.join(map(str, channels))}.npz"
+    save_params(params, out)
+    print(f"[pretrain] saved {out} (final loss {loss:.5f})")
+    return 0
+
+
+if __name__ == "__main__":
+    import sys
+
+    sys.exit(main())
