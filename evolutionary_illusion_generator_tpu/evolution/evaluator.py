@@ -59,6 +59,9 @@ class EvalConfig:
     c_dim: int = 3
     gradient: int = 1
     bg: int = 1
+    # Equiluminant (HSV) rendering — the working version of the reference's
+    # dead get_equilum_image_from_cppn path (generate_illusion.py:511).
+    equilum: bool = False
     repeat: int = 20  # open-loop presentations (generate_illusion.py:483)
     extension: int = 2  # closed-loop frames (:531)
     flow: FlowConfig = field(default_factory=FlowConfig)
@@ -134,6 +137,8 @@ class GenerationEvaluator:
         params: PredNetParams,
         neat_cfg: NeatConfig,
     ) -> None:
+        if cfg.equilum and cfg.c_dim != 3:
+            raise ValueError("equiluminant rendering needs c_dim=3 (H,S,V nodes)")
         self.cfg = cfg
         self.params = params
         self.neat_cfg = neat_cfg
@@ -172,9 +177,14 @@ class GenerationEvaluator:
                 chunk["out_slot"],
                 self._grid_flat,
             )  # (mb, O, P)
-            imgs_u8 = render_images(
-                outs, self._x_mat, cfg.c_dim, bg=cfg.bg, gradient=cfg.gradient
-            )
+            if cfg.equilum:
+                from ..ops.render import render_equilum_images
+
+                imgs_u8 = render_equilum_images(outs, self._x_mat, bg=cfg.bg)
+            else:
+                imgs_u8 = render_images(
+                    outs, self._x_mat, cfg.c_dim, bg=cfg.bg, gradient=cfg.gradient
+                )
             imgs = to_unit_float(imgs_u8)
             f0, f1 = rollout_flow_frames(
                 params,

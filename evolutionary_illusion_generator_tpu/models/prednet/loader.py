@@ -26,11 +26,13 @@ from .model import PredNetParams, init_params
 __all__ = ["save_params", "load_params", "load_chainer_model", "load_or_init"]
 
 
-def save_params(params: PredNetParams, path: str) -> None:
+def save_params(params: PredNetParams, path: str, dtype=np.float32) -> None:
+    """NPZ checkpoint; ``dtype=np.float16`` halves bundled-weight size (the
+    inference dtype is bfloat16, so f16 storage loses nothing material)."""
     flat = {}
     for l, layer in enumerate(params):
         for name, arr in layer.items():
-            flat[f"l{l}/{name}"] = np.asarray(arr, dtype=np.float32)
+            flat[f"l{l}/{name}"] = np.asarray(arr, dtype=np.float32).astype(dtype)
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     np.savez(path, **flat)
 
