@@ -15,9 +15,8 @@ columns ``participant_id``, ``illusion_name``, ``strength`` (0-5 Likert).
 
 from __future__ import annotations
 
-from typing import Dict, Iterable, Optional
+from typing import Iterable, Optional
 
-import numpy as np
 import pandas as pd
 from scipy import stats
 

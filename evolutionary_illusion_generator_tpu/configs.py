@@ -14,7 +14,7 @@ for one of the five driver-provided scale points (BASELINE.json "configs"):
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Optional, Tuple
 
 from .neat.config import NeatConfig, preset as neat_preset

@@ -20,9 +20,8 @@ recompiles only when a bucket grows.
 from __future__ import annotations
 
 import time
-from dataclasses import dataclass, field, replace
-from functools import partial
-from typing import Dict, List, Optional, Sequence, Tuple
+from dataclasses import dataclass, field
+from typing import Dict, List, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -37,8 +37,6 @@ TPU-first design decisions (NOT a translation of the Chainer code):
 
 from __future__ import annotations
 
-from dataclasses import dataclass
-from functools import partial
 from typing import List, Optional, Sequence, Tuple
 
 import jax

@@ -17,7 +17,6 @@ import time
 from typing import Optional, Sequence
 
 import jax
-import jax.numpy as jnp
 import optax
 
 from .loader import save_params

@@ -10,8 +10,7 @@ predictors can be trained on any frame-sequence corpus, multi-chip.
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp

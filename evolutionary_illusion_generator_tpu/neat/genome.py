@@ -10,7 +10,6 @@ explicit (``random.Random``) so runs are reproducible and checkpointable.
 
 from __future__ import annotations
 
-import math
 from dataclasses import dataclass, field
 from random import Random
 from typing import Dict, List, Optional, Tuple

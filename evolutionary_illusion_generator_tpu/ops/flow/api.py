@@ -10,7 +10,6 @@ tensors out, one jitted program, no filesystem.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
 from typing import Optional
 
 import jax

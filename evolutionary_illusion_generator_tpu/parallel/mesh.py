@@ -13,7 +13,7 @@ tensors).  Frozen PredNet weights are replicated once at t=0
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax
 import numpy as np
