@@ -9,6 +9,7 @@ generation, exactly like the reference.
 
 from __future__ import annotations
 
+import functools
 import os
 from typing import Optional
 
@@ -27,6 +28,22 @@ __all__ = ["render_genome", "save_best_artifacts"]
 
 ENHANCED_SIZE = 800  # generate_illusion.py:666-667
 
+#: Fixed CPPN slot bucket for artifact renders: a stable shape keeps the
+#: (eager) evaluator's scan cache warm across generations.
+_RENDER_BUCKET = 128
+
+
+@functools.lru_cache(maxsize=8)
+def _cached_grid(structure: StructureType, w: int, h: int):
+    from ..ops.grids import GRID_SCALING, create_grid
+
+    return create_grid(structure, w, h, GRID_SCALING)
+
+
+@functools.lru_cache(maxsize=8)
+def _cached_enhanced_grid(size: int, structure: StructureType):
+    return enhanced_image_grid(size, size, structure)
+
 
 def render_genome(
     genome: Genome,
@@ -39,7 +56,13 @@ def render_genome(
     """Render a single genome on an arbitrary grid; returns (h, w, c) uint8."""
     x_mat = np.asarray(grid["x_mat"])
     h, w = x_mat.shape
-    packed = pack_population([genome], neat_cfg)
+    from ..models.cppn import required_nodes
+
+    need = len(required_nodes(genome, neat_cfg))
+    bucket = _RENDER_BUCKET
+    while bucket < need:
+        bucket *= 2
+    packed = pack_population([genome], neat_cfg, bucket)
     flat = jnp.stack(
         [
             jnp.asarray(grid["x_mat"], jnp.float32).reshape(-1),
@@ -81,15 +104,13 @@ def save_best_artifacts(
         np.asarray(base), best_vectors, os.path.join(best_dir, "best_flow.png")
     )
 
-    from ..ops.grids import create_grid, GRID_SCALING
-
     h, w = best_image_u8.shape[:2]
-    grid = create_grid(structure, w, h, GRID_SCALING)
+    grid = _cached_grid(structure, w, h)
     black = render_genome(best_genome, neat_cfg, grid, c_dim, bg=0, gradient=gradient)
     save_image(black, os.path.join(best_dir, "best_black_bg.png"))
 
     if enhanced:
-        e_grid = enhanced_image_grid(ENHANCED_SIZE, ENHANCED_SIZE, structure)
+        e_grid = _cached_enhanced_grid(ENHANCED_SIZE, structure)
         poster = render_genome(
             best_genome, neat_cfg, e_grid, c_dim, bg=1, gradient=gradient
         )
