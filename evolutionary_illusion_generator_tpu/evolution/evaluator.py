@@ -76,6 +76,11 @@ class EvalConfig:
     use_pallas: bool = False
     # population microbatching bound (memory); 0 = whole population at once
     microbatch: int = 0
+    # initial CPPN slot bucket: generous so structural genome growth over a
+    # long run rarely forces a mid-run recompile (remote recompiles cost
+    # minutes).  Each slot costs one scan step AND one (chunk, slots,
+    # pixels) buffer row, so don't oversize at large resolutions.
+    node_bucket: int = 64
 
 
 class GenerationOutputs:
@@ -149,8 +154,11 @@ class GenerationEvaluator:
                 jnp.asarray(grid["y_mat"], jnp.float32).reshape(-1),
             ]
         )
-        self._node_bucket = _bucket(
-            neat_cfg.num_inputs + neat_cfg.num_outputs + neat_cfg.num_hidden
+        self._node_bucket = max(
+            cfg.node_bucket,
+            _bucket(
+                neat_cfg.num_inputs + neat_cfg.num_outputs + neat_cfg.num_hidden
+            ),
         )
         self._pop_min = 8  # sharded subclass raises this to the mesh size
         self._jitted = {}
