@@ -1,0 +1,116 @@
+"""Unit tests for NEAT reproduction spawn math and stagnation."""
+
+from random import Random
+
+import pytest
+
+from evolutionary_illusion_generator_tpu.neat import (
+    Genome,
+    Population,
+    Reproduction,
+    preset,
+)
+from evolutionary_illusion_generator_tpu.neat.species import SpeciesSet
+from evolutionary_illusion_generator_tpu.neat.stagnation import update_stagnation
+
+
+class TestComputeSpawn:
+    def test_proportional_with_floor(self):
+        spawns = Reproduction.compute_spawn(
+            adjusted_fitnesses=[0.8, 0.2],
+            previous_sizes=[10, 10],
+            pop_size=20,
+            min_species_size=2,
+        )
+        assert sum(spawns) >= 18  # roughly preserves pop size
+        assert spawns[0] > spawns[1]
+        assert all(s >= 2 for s in spawns)
+
+    def test_zero_fitness_gets_floor(self):
+        spawns = Reproduction.compute_spawn([0.0, 0.0], [5, 5], 10, 3)
+        assert all(s >= 3 for s in spawns)
+
+    def test_min_species_size_inflates_population(self):
+        # circles preset semantics: pop_size 5 but min_species_size 10
+        spawns = Reproduction.compute_spawn([0.5], [5], 5, 10)
+        assert spawns[0] >= 10
+
+
+def _speciate_population(cfg, n, seed=0):
+    rng = Random(seed)
+    pop = {i: Genome.new(i, cfg, rng) for i in range(1, n + 1)}
+    ss = SpeciesSet()
+    ss.speciate(cfg, pop, 0)
+    return pop, ss
+
+
+class TestStagnation:
+    def test_improving_species_survive(self):
+        cfg = preset("circles")
+        pop, ss = _speciate_population(cfg, 6)
+        for g in pop.values():
+            g.fitness = 1.0
+        res = update_stagnation(cfg, ss, generation=0)
+        assert all(not stagnant for _, _, stagnant in res)
+
+    def test_stagnant_species_marked_after_max_stagnation(self):
+        cfg = preset("circles").replace(max_stagnation=3, species_elitism=0)
+        pop, ss = _speciate_population(cfg, 8)
+        for g in pop.values():
+            g.fitness = 1.0
+        update_stagnation(cfg, ss, 0)
+        # no improvement for > max_stagnation generations
+        res = None
+        for gen in range(1, 6):
+            for g in pop.values():
+                g.fitness = 1.0  # never improves past gen 0
+            res = update_stagnation(cfg, ss, gen)
+        assert any(stagnant for _, _, stagnant in res)
+
+    def test_species_elitism_protects_best(self):
+        cfg = preset("circles").replace(max_stagnation=1, species_elitism=2)
+        pop, ss = _speciate_population(cfg, 10, seed=3)
+        for g in pop.values():
+            g.fitness = 0.5
+        update_stagnation(cfg, ss, 0)
+        for gen in range(1, 5):
+            res = update_stagnation(cfg, ss, gen)
+        surviving = sum(1 for _, _, stagnant in res if not stagnant)
+        assert surviving >= min(2, len(ss.species))
+
+
+class TestSpeciation:
+    def test_all_genomes_assigned(self):
+        cfg = preset("circles")
+        pop, ss = _speciate_population(cfg, 12, seed=5)
+        members = [gid for s in ss.species.values() for gid in s.members]
+        assert sorted(members) == sorted(pop)
+        assert set(ss.genome_to_species) == set(pop)
+
+    def test_tight_threshold_splits(self):
+        cfg = preset("circles").replace(compatibility_threshold=0.01)
+        pop, ss = _speciate_population(cfg, 8, seed=7)
+        assert len(ss.species) > 1
+
+    def test_loose_threshold_merges(self):
+        cfg = preset("circles").replace(compatibility_threshold=100.0)
+        pop, ss = _speciate_population(cfg, 8, seed=7)
+        assert len(ss.species) == 1
+
+
+class TestExtinctionReset:
+    def test_reset_on_extinction(self):
+        cfg = preset("circles").replace(
+            max_stagnation=0, species_elitism=0, reset_on_extinction=True,
+            pop_size=6, min_species_size=2, elitism=0,
+        )
+        pop = Population(cfg, seed=0)
+
+        def flat(genomes, _):
+            for gid, g in genomes:
+                g.fitness = 0.0
+
+        # stagnation 0 kills everything immediately -> reset, not crash
+        pop.run_generation(flat)
+        pop.run_generation(flat)
+        assert len(pop.population) > 0
