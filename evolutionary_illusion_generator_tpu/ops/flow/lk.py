@@ -60,16 +60,18 @@ def _int_windows(img, top_left, win: int):
 def _subpix_windows(img, top_left_f, win: int):
     """(K, win, win) windows at FLOAT top-left corners: bilinear mix of the
     four integer-shifted windows (valid because the offset is uniform
-    across the window)."""
+    across the window).  ONE (win+1, win+1) block gather per corner; the
+    four shifted windows are static slices of it."""
     tl0 = jnp.floor(top_left_f)
     frac = top_left_f - tl0  # (K, 2) in [0, 1)
     tl0 = tl0.astype(jnp.int32)
     fx = frac[:, 0][:, None, None]
     fy = frac[:, 1][:, None, None]
-    w00 = _int_windows(img, tl0, win)
-    w01 = _int_windows(img, tl0 + jnp.array([1, 0], jnp.int32), win)
-    w10 = _int_windows(img, tl0 + jnp.array([0, 1], jnp.int32), win)
-    w11 = _int_windows(img, tl0 + jnp.array([1, 1], jnp.int32), win)
+    big = _int_windows(img, tl0, win + 1)  # (K, win+1, win+1)
+    w00 = big[:, :win, :win]
+    w01 = big[:, :win, 1:]
+    w10 = big[:, 1:, :win]
+    w11 = big[:, 1:, 1:]
     return (
         w00 * (1 - fx) * (1 - fy)
         + w01 * fx * (1 - fy)
