@@ -129,6 +129,17 @@ def _conv(x, w, b):
     return y + b.astype(jnp.float32)
 
 
+def _conv_nobias(x, w):
+    return jax.lax.conv_general_dilated(
+        x.astype(w.dtype),
+        w,
+        window_strides=(1, 1),
+        padding="SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    )
+
+
 def _upsample2(x):
     """Nearest-neighbour 2x upsample (NHWC)."""
     b, h, w, c = x.shape
@@ -189,15 +200,22 @@ def prednet_step(
     dtype = state[0]["r"].dtype
 
     # ---- top-down recurrent pass -------------------------------------
+    # The gate conv is computed as a SUM of per-source convs (weight slices
+    # of the fused kernel) instead of conv(concat(...)): identical math, but
+    # avoids materializing the concatenated input (hundreds of MB of pure
+    # copy traffic per step at scale).
     new_state = [dict(s) for s in state]
     r_above: Optional[jnp.ndarray] = None
     for l in reversed(range(L)):
         s = state[l]
-        parts = [s["e"], s["r"]]
+        w = params[l]["lstm_w"]
+        C = s["r"].shape[-1]
+        w_e = w[:, :, : 2 * C]
+        w_r = w[:, :, 2 * C : 3 * C]
+        gates = _conv(s["e"], w_e, params[l]["lstm_b"])
+        gates = gates + _conv_nobias(s["r"], w_r)
         if r_above is not None:
-            parts.append(_upsample2(r_above))
-        x = jnp.concatenate(parts, axis=-1)
-        gates = _conv(x, params[l]["lstm_w"], params[l]["lstm_b"])
+            gates = gates + _conv_nobias(_upsample2(r_above), w[:, :, 3 * C :])
         h, c = _apply_gates(gates, s["c"], use_pallas)
         new_state[l]["r"] = h.astype(dtype)
         new_state[l]["c"] = c.astype(dtype)
@@ -257,20 +275,49 @@ def rollout(
     assert channels[0] == C0, (channels, C0)
     T = repeat + extension
     state0 = init_state(B, H, W, channels, dtype=params[0]["lstm_w"].dtype)
-
     collect = tuple(sorted(collect))
+    frames32 = images.astype(jnp.float32)
+
+    if not collect or min(collect) >= repeat - 1:
+        # Fast path (covers both flow-pair conventions, which only need the
+        # last open-loop prediction and the extension frames): scan the
+        # constant-input open-loop phase with NO per-step selects, then
+        # unroll the few closed-loop steps.  The naive formulation's
+        # where(t==k) saved-frame selects and where(t<repeat) frame select
+        # cost ~20% of the rollout (full-image ops every step).
+        def step_open(carry, _):
+            state, _ = carry
+            state, pred = prednet_step(
+                params, state, frames32, use_pallas=use_pallas
+            )
+            return (state, pred), None
+
+        (state, pred), _ = jax.lax.scan(
+            step_open,
+            (state0, jnp.zeros((B, H, W, C0), jnp.float32)),
+            None,
+            length=repeat,
+        )
+        saved = {}
+        if repeat - 1 in collect:
+            saved[repeat - 1] = pred
+        for t in range(repeat, T):
+            state, pred = prednet_step(params, state, pred, use_pallas=use_pallas)
+            if t in collect:
+                saved[t] = pred
+        return {"predictions": saved, "final_state": state}
+
+    # general path: arbitrary collect times via masked per-step saves
     saved0 = {t: jnp.zeros((B, H, W, C0), jnp.float32) for t in collect}
 
     def step(carry, t):
         state, prev_pred, saved = carry
-        frame = jnp.where(t < repeat, images.astype(jnp.float32), prev_pred)
+        frame = jnp.where(t < repeat, frames32, prev_pred)
         state, pred = prednet_step(params, state, frame, use_pallas=use_pallas)
-        saved = {
-            k: jnp.where(t == k, pred, v) for k, v in saved.items()
-        }
+        saved = {k: jnp.where(t == k, pred, v) for k, v in saved.items()}
         return (state, pred, saved), None
 
-    init = (state0, images.astype(jnp.float32), saved0)
+    init = (state0, frames32, saved0)
     (state, _, saved), _ = jax.lax.scan(step, init, jnp.arange(T))
     return {"predictions": saved, "final_state": state}
 
