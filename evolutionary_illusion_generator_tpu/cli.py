@@ -55,6 +55,10 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv: Optional[List[str]] = None) -> int:
     args = build_parser().parse_args(argv)
 
+    from .utils.compilation_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     common = dict(
         generations=args.generations,
         seed=args.seed,
