@@ -65,15 +65,19 @@ def plausibility_ratio(vectors, limit):
     return [ratio, kept]
 
 
-def strength_number(vectors, max_norm):
+def strength_number(vectors, max_norm, strict_reference=True):
     """Mean |dx| / max_norm, damped by the variance of flow norms.
 
     Matches fitness_calculator.py:32-41.  Quirk: only the x component's mean
-    is used (``my`` at :35 is dead).
+    is used (``my`` at :35 is dead); ``strict_reference=False`` uses the
+    full flow norm instead.
     """
     v = _as_vectors(vectors)
-    mx = np.mean(np.abs(v[:, 2]))
     norms = np.sqrt(v[:, 2] * v[:, 2] + v[:, 3] * v[:, 3])
+    if strict_reference:
+        mx = np.mean(np.abs(v[:, 2]))
+    else:
+        mx = np.mean(norms)
     var = np.var(norms)
     return float(mx / max_norm * (1.0 - min(var, 1.0)))
 
@@ -100,7 +104,7 @@ def direction_ratio(vectors, limits=None):
     return [orientation, mean_ratio]
 
 
-def horizontal_symmetry_score(vectors, limits=(0, 60)):
+def horizontal_symmetry_score(vectors, limits=(0, 60), strict_reference=True):
     """Symmetry of flow about the horizontal middle of ``limits``.
 
     Matches fitness_calculator.py:81-120, including the broadcast quirk:
@@ -109,6 +113,8 @@ def horizontal_symmetry_score(vectors, limits=(0, 60)):
     columns, so they contribute ``[ndx, ndx]``; rows at/above the middle
     contribute ``[-ndx, ndy]`` (:100-103).  All four components are divided
     by the flow norm (:98) — the position components are then discarded.
+    ``strict_reference=False`` fixes the broadcast: below-middle rows
+    contribute ``[ndx, ndy]``.
     """
     v = _as_vectors(vectors)
     middle = int(limits[1] / 2)
@@ -121,14 +127,17 @@ def horizontal_symmetry_score(vectors, limits=(0, 60)):
     ndy = v[:, 3] / flow_norm
     below = v[:, 1] < middle
     col_x = np.where(below, ndx, -ndx)
-    col_y = np.where(below, ndx, ndy)  # broadcast quirk: ndx lands in y too
+    if strict_reference:
+        col_y = np.where(below, ndx, ndy)  # broadcast quirk: ndx lands in y
+    else:
+        col_y = ndy
     var_x = np.var(col_x)
     mean_x = abs(np.mean(col_x))
     mean_y = abs(np.mean(col_y))
     return float(((1.0 - var_x) + mean_x + (1.0 - mean_y)) / 3.0)
 
 
-def swarm_score(vectors):
+def swarm_score(vectors, strict_reference=True):
     """Neighborhood angular-coherence score, O(n^2) over vector pairs.
 
     Matches fitness_calculator.py:124-159.  Per anchor ``a``: squared pixel
@@ -137,6 +146,8 @@ def swarm_score(vectors):
     angle is ``((angle_a + df*pi) % 2) * pi`` (the reference's ``% 2 *
     math.pi`` precedence quirk, :154); loss = close * |angles - optimal|;
     score accumulates ``(pi - mean loss)/pi`` and is averaged over anchors.
+    ``strict_reference=False`` fixes the precedence to the intended
+    ``(angle + df*pi) % (2*pi)``.
     """
     v = _as_vectors(vectors)
     n = v.shape[0]
@@ -151,7 +162,11 @@ def swarm_score(vectors):
     distance_factors = np.where(distance_factors > 1.0, 1.0, distance_factors)
     close = 1.0 - np.where(distance_factors < 1.0, 0.0, distance_factors)
 
-    optimal = np.mod(angles[:, None] + distance_factors * math.pi, 2.0) * math.pi
+    raw = angles[:, None] + distance_factors * math.pi
+    if strict_reference:
+        optimal = np.mod(raw, 2.0) * math.pi
+    else:
+        optimal = np.mod(raw, 2.0 * math.pi)
     loss = close * np.abs(angles[None, :] - optimal)
     temp = math.pi - loss.sum(axis=1) / n
     score = np.sum(temp / math.pi)

@@ -241,3 +241,25 @@ class TestJaxParity:
             got = float(metrics_jax.score_vectors_jax(st, v, m, 160, 120))
             want = score_vectors(st, real, 160, 120)
             assert got == pytest.approx(want, rel=1e-4, abs=1e-6)
+
+
+class TestNonStrictVariants:
+    """strict_reference=False fixes the documented quirks (SURVEY Appendix C)."""
+
+    def test_strength_uses_norm(self):
+        v = [[0, 0, 0.0, 0.2], [5, 5, 0.0, 0.2]]  # pure-y flow
+        assert strength_number(v, 0.4) == 0.0  # strict: x-mean only
+        assert strength_number(v, 0.4, strict_reference=False) == pytest.approx(0.5)
+
+    def test_horizontal_broadcast_fix(self, rng):
+        v = random_vectors(rng, 30)
+        s_strict = horizontal_symmetry_score(v, [0, 60])
+        s_fixed = horizontal_symmetry_score(v, [0, 60], strict_reference=False)
+        assert s_strict != s_fixed  # quirk changes the value
+
+    def test_swarm_precedence_fix(self):
+        # far pair: df=1 -> strict optimal ((a+pi)%2)*pi vs fixed (a+pi)%2pi
+        v = [[0, 0, 0.0, 1.0], [200, 0, 0.0, 1.0]]
+        s_strict = swarm_score(v)
+        s_fixed = swarm_score(v, strict_reference=False)
+        assert s_strict != s_fixed
