@@ -65,7 +65,9 @@ def fused_lstm_gates(gates, c_prev, interpret: bool = False):
     """
     B, H, W, C4 = gates.shape
     C = C4 // 4
-    rows = _row_tile(H, W, C)
+    # conservative budget: embedded in a larger program the kernel must not
+    # claim the whole 128M VMEM window
+    rows = _row_tile(H, W, C, vmem_budget_bytes=4 * 1024 * 1024)
     grid = (B, pl.cdiv(H, rows))
 
     out_shape = (
@@ -101,5 +103,8 @@ def fused_lstm_gates(gates, c_prev, interpret: bool = False):
         ),
         out_shape=out_shape,
         interpret=interpret,
+        compiler_params=None
+        if interpret
+        else pltpu.CompilerParams(vmem_limit_bytes=32 * 1024 * 1024),
     )(gates, c_prev)
     return h, c
