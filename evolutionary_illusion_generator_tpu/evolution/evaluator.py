@@ -27,7 +27,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..models.cppn import evaluate_population, pack_population, required_nodes
+from ..models.cppn import (
+    evaluate_population_levels,
+    genome_depth,
+    pack_population_levels,
+    required_nodes,
+)
 from ..models.prednet.model import PredNetParams, rollout_flow_frames
 from ..neat.config import NeatConfig
 from ..neat.genome import Genome
@@ -76,11 +81,13 @@ class EvalConfig:
     use_pallas: bool = False
     # population microbatching bound (memory); 0 = whole population at once
     microbatch: int = 0
-    # initial CPPN slot bucket: generous so structural genome growth over a
-    # long run rarely forces a mid-run recompile (remote recompiles cost
-    # minutes).  Each slot costs one scan step AND one (chunk, slots,
-    # pixels) buffer row, so don't oversize at large resolutions.
-    node_bucket: int = 64
+    # CPPN level-bucket: genomes are packed into ``cppn_levels`` topological
+    # levels of ``cppn_width`` nodes (one MXU matmul per level).  Generous
+    # defaults so structural genome growth over a long run rarely forces a
+    # mid-run recompile (remote recompiles cost minutes); capacity is
+    # levels*width nodes, depth cap is ``cppn_levels``.
+    cppn_levels: int = 8
+    cppn_width: int = 16
 
 
 class GenerationOutputs:
@@ -154,12 +161,12 @@ class GenerationEvaluator:
                 jnp.asarray(grid["y_mat"], jnp.float32).reshape(-1),
             ]
         )
-        self._node_bucket = max(
-            cfg.node_bucket,
-            _bucket(
-                neat_cfg.num_inputs + neat_cfg.num_outputs + neat_cfg.num_hidden
-            ),
-        )
+        self._levels = cfg.cppn_levels
+        self._width = cfg.cppn_width
+        while self._levels * self._width < (
+            neat_cfg.num_inputs + neat_cfg.num_outputs + neat_cfg.num_hidden
+        ):
+            self._width *= 2
         self._pop_min = 8  # sharded subclass raises this to the mesh size
         self._jitted = {}
         self.last_timings: Dict[str, float] = {}
@@ -176,7 +183,7 @@ class GenerationEvaluator:
             """Full per-candidate pipeline for a population chunk —
             bounding peak HBM (CPPN value buffers + PredNet states scale
             with the chunk, not the population)."""
-            outs = evaluate_population(
+            outs = evaluate_population_levels(
                 chunk["weights"],
                 chunk["bias"],
                 chunk["response"],
@@ -236,16 +243,25 @@ class GenerationEvaluator:
         individual rows (e.g. the generation winner) on demand; only the
         (pop, K, 4) vectors and masks transfer per generation."""
         n = len(genomes)
-        # grow the node bucket first if any genome outgrew it
-        need = max(len(required_nodes(g, self.neat_cfg)) for g in genomes)
-        while self._node_bucket < need:
-            self._node_bucket *= 2
+        # grow the level bucket first if any genome outgrew it (capacity or
+        # depth); growth recompiles, so buckets only ever expand
+        need_nodes = max(len(required_nodes(g, self.neat_cfg)) for g in genomes)
+        need_depth = max(genome_depth(g, self.neat_cfg) for g in genomes)
+        while self._levels * self._width < need_nodes:
+            self._width *= 2
+        while self._levels < need_depth:
+            self._levels *= 2
 
         mb = self.cfg.microbatch
         chunk = min(mb, _bucket(n, self._pop_min)) if mb else _bucket(
             n, self._pop_min
         )
-        packed = pack_population(genomes, self.neat_cfg, self._node_bucket)
+        packed = pack_population_levels(
+            genomes, self.neat_cfg, self._levels, self._width
+        )
+        # the packer may have grown the bucket further (greedy placement can
+        # exceed the plain depth bound); sync so the jit cache key matches
+        _, self._levels, self._width, _ = packed["weights"].shape
         padded = -(-n // chunk) * chunk
         if n < padded:
             pad = padded - n
@@ -254,7 +270,7 @@ class GenerationEvaluator:
                 for k, v in packed.items()
             }
 
-        fn = self._device_fn(chunk, self._node_bucket)
+        fn = self._device_fn(chunk, (self._levels, self._width))
         pieces = []
         for start in range(0, padded, chunk):
             part = {

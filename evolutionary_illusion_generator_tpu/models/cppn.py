@@ -38,6 +38,11 @@ __all__ = [
     "evaluate_cppn",
     "evaluate_population",
     "required_nodes",
+    "compile_genome_levels",
+    "pack_population_levels",
+    "evaluate_cppn_levels",
+    "evaluate_population_levels",
+    "genome_depth",
 ]
 
 # ---------------------------------------------------------------------------
@@ -268,3 +273,185 @@ def evaluate_cppn(weights, bias, response, act_id, out_slot, inputs):
 
 #: vmap over the population axis of packed tables; the grid is shared.
 evaluate_population = jax.vmap(evaluate_cppn, in_axes=(0, 0, 0, 0, 0, None))
+
+
+# ---------------------------------------------------------------------------
+# level-blocked compilation/evaluation (the fast path)
+# ---------------------------------------------------------------------------
+#
+# The slot-serial scan above re-reads the whole value buffer once per NODE —
+# O(slots^2 * pixels) traffic.  Feed-forward CPPNs are shallow, so nodes can
+# be packed into topological LEVELS: each level is one (width, slots) x
+# (slots, pixels) matmul on the MXU, and the buffer is re-read once per
+# LEVEL.  A level only ever reads strictly earlier levels, so splitting a
+# too-wide level into consecutive levels is always legal.
+
+
+def compile_genome_levels(
+    genome: Genome, cfg: NeatConfig, levels: int, width: int
+) -> dict:
+    """Lower one genome to per-level dense tables.
+
+    Slot layout: ``[inputs | level0 (width) | level1 (width) | ...]``.
+    Returns dict of arrays: weights (L, width, S), bias/response (L, width),
+    act_id (L, width) i32, out_slot (O,) i32.
+    """
+    req = required_nodes(genome, cfg)
+    enabled = {
+        k: c
+        for k, c in genome.connections.items()
+        if c.enabled and k[1] in req and (k[0] < 0 or k[0] in req)
+    }
+    incoming: Dict[int, List[Tuple[int, float]]] = {n: [] for n in req}
+    for (i, o), conn in enabled.items():
+        incoming[o].append((i, conn.weight))
+
+    ni = cfg.num_inputs
+    S = ni + levels * width
+    slot_of = {ik: idx for idx, ik in enumerate(cfg.input_keys)}
+    level_of: Dict[int, int] = {}
+    fill = [0] * levels
+
+    # topo placement
+    placed = set(cfg.input_keys)
+    pending = set(req)
+    order: List[int] = []
+    while pending:
+        ready = sorted(
+            n for n in pending if all(src in placed for src, _ in incoming[n])
+        )
+        if not ready:
+            raise ValueError(f"genome {genome.key}: cycle in feed-forward net")
+        for n in ready:
+            min_level = 0
+            for src, _ in incoming[n]:
+                if src >= 0:
+                    min_level = max(min_level, level_of[src] + 1)
+            k = min_level
+            while k < levels and fill[k] >= width:
+                k += 1
+            if k >= levels:
+                raise ValueError(
+                    f"genome {genome.key} overflows level bucket "
+                    f"({levels}x{width})"
+                )
+            level_of[n] = k
+            slot_of[n] = ni + k * width + fill[k]
+            fill[k] += 1
+            order.append(n)
+            placed.add(n)
+            pending.discard(n)
+
+    weights = np.zeros((levels, width, S), dtype=np.float32)
+    bias = np.zeros((levels, width), dtype=np.float32)
+    response = np.zeros((levels, width), dtype=np.float32)
+    act_id = np.full((levels, width), _ACT_ID["identity"], dtype=np.int32)
+
+    for n in order:
+        node = genome.nodes[n]
+        if node.aggregation != "sum":
+            raise NotImplementedError(
+                f"aggregation {node.aggregation!r} not supported on device"
+            )
+        k = level_of[n]
+        j = slot_of[n] - ni - k * width
+        bias[k, j] = node.bias
+        response[k, j] = node.response
+        act_id[k, j] = _ACT_ID[node.activation]
+        for src, w in incoming[n]:
+            weights[k, j, slot_of[src]] += w
+
+    out_slot = np.array([slot_of[o] for o in cfg.output_keys], dtype=np.int32)
+    return {
+        "weights": weights,
+        "bias": bias,
+        "response": response,
+        "act_id": act_id,
+        "out_slot": out_slot,
+    }
+
+
+def genome_depth(genome: Genome, cfg: NeatConfig) -> int:
+    """Topological depth (number of levels) a genome needs."""
+    req = required_nodes(genome, cfg)
+    incoming: Dict[int, List[int]] = {n: [] for n in req}
+    for (i, o), conn in genome.connections.items():
+        if conn.enabled and o in req and i >= 0 and i in req:
+            incoming[o].append(i)
+    depth: Dict[int, int] = {}
+    placed = set()
+    pending = set(req)
+    while pending:
+        ready = [n for n in pending if all(s in placed for s in incoming[n])]
+        if not ready:
+            raise ValueError("cycle")
+        for n in ready:
+            depth[n] = 1 + max((depth[s] for s in incoming[n]), default=0)
+            placed.add(n)
+            pending.discard(n)
+    return max(depth.values(), default=1)
+
+
+def pack_population_levels(
+    genomes: Sequence[Genome],
+    cfg: NeatConfig,
+    levels: int = 8,
+    width: int = 16,
+) -> Dict[str, np.ndarray]:
+    """Compile a population into stacked level tables (leading pop axis).
+
+    ``levels``/``width`` grow (x2) automatically when a genome's depth or
+    node count overflows the requested bucket.
+    """
+    while True:
+        try:
+            progs = [
+                compile_genome_levels(g, cfg, levels, width) for g in genomes
+            ]
+            break
+        except ValueError:
+            need = max(len(required_nodes(g, cfg)) for g in genomes)
+            if levels * width < need:
+                width *= 2
+            else:
+                levels *= 2
+    return {k: np.stack([p[k] for p in progs]) for k in progs[0]}
+
+
+def evaluate_cppn_levels(weights, bias, response, act_id, out_slot, inputs):
+    """Evaluate one level-compiled CPPN on a pixel batch.
+
+    weights: (L, width, S); bias/response/act_id: (L, width); inputs (ni, P).
+    Returns (O, P).
+    """
+    L, width, S = weights.shape
+    ni = S - L * width
+    P = inputs.shape[1]
+    vals = jnp.zeros((S, P), dtype=inputs.dtype)
+    vals = jax.lax.dynamic_update_slice(vals, inputs, (0, 0))
+
+    xs = (jnp.arange(L), weights, bias, response, act_id)
+
+    def step(vals, x):
+        k, w_k, b_k, r_k, a_k = x
+        pre = jnp.dot(w_k, vals, preferred_element_type=jnp.float32)
+        z = r_k[:, None] * pre + b_k[:, None]
+        v = _apply_act_rows(a_k, z)
+        vals = jax.lax.dynamic_update_slice(vals, v, (ni + k * width, 0))
+        return vals, None
+
+    vals, _ = jax.lax.scan(step, vals, xs)
+    return vals[out_slot]
+
+
+def _apply_act_rows(act_id, z):
+    """Per-row activation select; act_id (width,), z (width, P)."""
+    stacked = jnp.stack([fn(z) for fn in _ACT_FNS])  # (A, width, P)
+    return jnp.take_along_axis(
+        stacked, act_id[None, :, None], axis=0
+    )[0]
+
+
+evaluate_population_levels = jax.vmap(
+    evaluate_cppn_levels, in_axes=(0, 0, 0, 0, 0, None)
+)

@@ -154,3 +154,52 @@ class TestRender:
             render_images(vals, jnp.zeros((1, 2)), c_dim=1, bg=0, gradient=1)
         )
         np.testing.assert_array_equal(img[0, 0, :, 0], [51, 153])
+
+
+class TestLevelBlocked:
+    """Level-packed evaluation must equal the slot-serial path and oracle."""
+
+    def test_matches_oracle_and_serial(self, rng):
+        from evolutionary_illusion_generator_tpu.models.cppn import (
+            evaluate_population_levels,
+            pack_population,
+            pack_population_levels,
+        )
+
+        cfg = preset("circles")
+        P = 48
+        inputs = np.random.default_rng(2).uniform(-10, 10, (2, P))
+        genomes = []
+        for t in range(4):
+            g = Genome.new(t, cfg, rng)
+            for _ in range(30):
+                g.mutate(cfg, rng)
+            genomes.append(g)
+
+        lv = {k: jnp.asarray(v) for k, v in
+              pack_population_levels(genomes, cfg).items()}
+        out_lv = np.asarray(
+            evaluate_population_levels(
+                lv["weights"], lv["bias"], lv["response"], lv["act_id"],
+                lv["out_slot"], jnp.asarray(inputs, jnp.float32),
+            )
+        )
+        for i, g in enumerate(genomes):
+            want = eval_genome_oracle(g, cfg, inputs)
+            np.testing.assert_allclose(out_lv[i], want, rtol=2e-3, atol=1e-4)
+
+    def test_bucket_growth_on_deep_genome(self, rng):
+        from evolutionary_illusion_generator_tpu.models.cppn import (
+            genome_depth,
+            pack_population_levels,
+        )
+
+        cfg = preset("circles")
+        g = Genome.new(0, cfg, rng)
+        # force a deep chain with add_node splits
+        for _ in range(80):
+            g.mutate_add_node(cfg, rng)
+        depth = genome_depth(g, cfg)
+        packed = pack_population_levels([g], cfg, levels=2, width=4)
+        L = packed["weights"].shape[1]
+        assert L >= depth or packed["weights"].shape[2] * L >= depth
