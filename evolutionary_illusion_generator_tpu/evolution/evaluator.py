@@ -79,6 +79,10 @@ class EvalConfig:
     # reproduce that.
     nan_to_zero: bool = True
     use_pallas: bool = False
+    # predictor compute dtype: "bfloat16" halves the rollout's post-conv
+    # bandwidth (the generation's dominant cost); "float32" for exact
+    # predictor numerics
+    prednet_dtype: str = "bfloat16"
     # population microbatching bound (memory); 0 = whole population at once
     microbatch: int = 0
     # CPPN level-bucket: genomes are packed into ``cppn_levels`` topological
@@ -207,6 +211,7 @@ class GenerationEvaluator:
                 extension=cfg.extension,
                 pair="population",
                 use_pallas=cfg.use_pallas,
+                compute_dtype=jnp.dtype(cfg.prednet_dtype),
             )
             vectors, vmask = batched_flow(f0, f1, cfg.flow)
             out = {

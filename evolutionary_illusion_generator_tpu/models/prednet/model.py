@@ -116,27 +116,28 @@ def init_state(
     return state
 
 
-def _conv(x, w, b):
-    """NHWC same-padding conv in the weight dtype with f32 accumulation."""
+def _conv(x, w, b, out_dtype=jnp.float32):
+    """NHWC same-padding conv in the weight dtype; output in ``out_dtype``
+    (bf16 halves the bandwidth of every post-conv elementwise fusion)."""
     y = jax.lax.conv_general_dilated(
         x.astype(w.dtype),
         w,
         window_strides=(1, 1),
         padding="SAME",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=out_dtype,
     )
-    return y + b.astype(jnp.float32)
+    return y + b.astype(out_dtype)
 
 
-def _conv_nobias(x, w):
+def _conv_nobias(x, w, out_dtype=jnp.float32):
     return jax.lax.conv_general_dilated(
         x.astype(w.dtype),
         w,
         window_strides=(1, 1),
         padding="SAME",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=out_dtype,
     )
 
 
@@ -158,26 +159,28 @@ def _maxpool2(x):
     )
 
 
-def _lstm_gates_jnp(gates_f32, c_prev):
-    """Reference gate math (f32): i,f,o sigmoid; g tanh; c = f*c + i*g."""
-    i, f, o, g = jnp.split(gates_f32, 4, axis=-1)
+def _lstm_gates_jnp(gates, c_prev):
+    """Gate math in the gates' dtype: i,f,o sigmoid; g tanh; c = f*c + i*g."""
+    i, f, o, g = jnp.split(gates, 4, axis=-1)
     i = jax.nn.sigmoid(i)
     f = jax.nn.sigmoid(f)
     o = jax.nn.sigmoid(o)
     g = jnp.tanh(g)
-    c = f * c_prev.astype(jnp.float32) + i * g
+    c = f * c_prev.astype(gates.dtype) + i * g
     h = o * jnp.tanh(c)
     return h, c
 
 
-def _apply_gates(gates_f32, c_prev, use_pallas: bool):
+def _apply_gates(gates, c_prev, use_pallas: bool):
     if use_pallas:
         from ...ops.convlstm_pallas import fused_lstm_gates
 
         # off-TPU (CPU test mesh) the kernel runs in interpreter mode
         interpret = jax.default_backend() != "tpu"
-        return fused_lstm_gates(gates_f32, c_prev, interpret=interpret)
-    return _lstm_gates_jnp(gates_f32, c_prev)
+        return fused_lstm_gates(
+            gates.astype(jnp.float32), c_prev, interpret=interpret
+        )
+    return _lstm_gates_jnp(gates, c_prev)
 
 
 def prednet_step(
@@ -186,6 +189,7 @@ def prednet_step(
     frame,
     *,
     use_pallas: bool = False,
+    compute_dtype=jnp.float32,
 ):
     """One PredNet timestep.
 
@@ -193,11 +197,16 @@ def prednet_step(
       params: from :func:`init_params`.
       state: per-layer dicts (r, c, e) from :func:`init_state`.
       frame: (B, H, W, C0) input in [0, 1].
+      compute_dtype: dtype of conv outputs / gate math / error units.
+        ``jnp.bfloat16`` roughly halves post-conv bandwidth (the rollout's
+        dominant cost) at ~1e-2 prediction precision — fine for fitness
+        evaluation; keep f32 when exact predictor numerics matter.
     Returns:
       (new_state, prediction) with prediction (B, H, W, C0) f32 in [0, 1].
     """
     L = len(params)
     dtype = state[0]["r"].dtype
+    cd = compute_dtype
 
     # ---- top-down recurrent pass -------------------------------------
     # The gate conv is computed as a SUM of per-source convs (weight slices
@@ -212,24 +221,24 @@ def prednet_step(
         C = s["r"].shape[-1]
         w_e = w[:, :, : 2 * C]
         w_r = w[:, :, 2 * C : 3 * C]
-        gates = _conv(s["e"], w_e, params[l]["lstm_b"])
-        gates = gates + _conv_nobias(s["r"], w_r)
+        gates = _conv(s["e"], w_e, params[l]["lstm_b"], cd)
+        gates = gates + _conv_nobias(s["r"], w_r, cd)
         if r_above is not None:
-            gates = gates + _conv_nobias(_upsample2(r_above), w[:, :, 3 * C :])
+            gates = gates + _conv_nobias(_upsample2(r_above), w[:, :, 3 * C :], cd)
         h, c = _apply_gates(gates, s["c"], use_pallas)
         new_state[l]["r"] = h.astype(dtype)
         new_state[l]["c"] = c.astype(dtype)
         r_above = new_state[l]["r"]
 
     # ---- bottom-up error pass ----------------------------------------
-    a = frame.astype(jnp.float32)
+    a = frame.astype(cd)
     prediction = None
     for l in range(L):
         r = new_state[l]["r"]
-        ahat = _conv(r, params[l]["ahat_w"], params[l]["ahat_b"])
+        ahat = _conv(r, params[l]["ahat_w"], params[l]["ahat_b"], cd)
         if l == 0:
             ahat = jnp.clip(ahat, 0.0, 1.0)  # SatLU at the pixel layer
-            prediction = ahat
+            prediction = ahat.astype(jnp.float32)
         else:
             ahat = jax.nn.relu(ahat)
         e = jnp.concatenate(
@@ -238,7 +247,7 @@ def prednet_step(
         new_state[l]["e"] = e.astype(dtype)
         if l + 1 < L:
             a_next = jax.nn.relu(
-                _conv(e.astype(dtype), params[l]["a_w"], params[l]["a_b"])
+                _conv(e.astype(dtype), params[l]["a_w"], params[l]["a_b"], cd)
             )
             a = _maxpool2(a_next)
 
@@ -253,6 +262,7 @@ def rollout(
     extension: int = 2,
     collect: Tuple[int, ...] = (),
     use_pallas: bool = False,
+    compute_dtype=jnp.float32,
 ):
     """Run the reference's repeated-frame + closed-loop-extension schedule.
 
@@ -288,7 +298,8 @@ def rollout(
         def step_open(carry, _):
             state, _ = carry
             state, pred = prednet_step(
-                params, state, frames32, use_pallas=use_pallas
+                params, state, frames32, use_pallas=use_pallas,
+                compute_dtype=compute_dtype,
             )
             return (state, pred), None
 
@@ -302,7 +313,10 @@ def rollout(
         if repeat - 1 in collect:
             saved[repeat - 1] = pred
         for t in range(repeat, T):
-            state, pred = prednet_step(params, state, pred, use_pallas=use_pallas)
+            state, pred = prednet_step(
+                params, state, pred, use_pallas=use_pallas,
+                compute_dtype=compute_dtype,
+            )
             if t in collect:
                 saved[t] = pred
         return {"predictions": saved, "final_state": state}
@@ -313,7 +327,10 @@ def rollout(
     def step(carry, t):
         state, prev_pred, saved = carry
         frame = jnp.where(t < repeat, frames32, prev_pred)
-        state, pred = prednet_step(params, state, frame, use_pallas=use_pallas)
+        state, pred = prednet_step(
+            params, state, frame, use_pallas=use_pallas,
+            compute_dtype=compute_dtype,
+        )
         saved = {k: jnp.where(t == k, pred, v) for k, v in saved.items()}
         return (state, pred, saved), None
 
@@ -330,6 +347,7 @@ def rollout_flow_frames(
     extension: int = 2,
     pair: str = "population",
     use_pallas: bool = False,
+    compute_dtype=jnp.float32,
 ):
     """Return the two frames the flow stage compares.
 
@@ -347,6 +365,7 @@ def rollout_flow_frames(
             extension=extension,
             collect=(repeat - 1, repeat),
             use_pallas=use_pallas,
+            compute_dtype=compute_dtype,
         )
         return out["predictions"][repeat - 1], out["predictions"][repeat]
     if pair == "probe":
@@ -357,6 +376,7 @@ def rollout_flow_frames(
             extension=extension,
             collect=(repeat + 1,),
             use_pallas=use_pallas,
+            compute_dtype=compute_dtype,
         )
         return images.astype(jnp.float32), out["predictions"][repeat + 1]
     raise ValueError(f"unknown pair convention: {pair!r}")
