@@ -28,6 +28,8 @@ __all__ = [
     "summarize",
     "welch_tests_vs_control",
     "correlate_with_model_scores",
+    "plot_rating_distributions",
+    "plot_medians",
 ]
 
 #: The model's own fitness scores for the published gallery
@@ -141,3 +143,62 @@ def correlate_with_model_scores(
     )
     r, p = stats.pearsonr(merged[human_col], merged[model_col])
     return merged, float(r), float(p)
+
+
+def plot_rating_distributions(
+    results: pd.DataFrame,
+    path: str,
+    illusion_col: str = "illusion_name",
+    value_col: str = "normalized",
+    bins: int = 10,
+):
+    """Per-illusion histograms of (normalized) strength ratings — the Rmd's
+    figure pages (gorilla_analysis.Rmd:200-260).  Saves a PNG grid and
+    returns the figure."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    names = sorted(results[illusion_col].unique())
+    cols = 3
+    rows = -(-len(names) // cols)
+    fig, axes = plt.subplots(rows, cols, figsize=(4 * cols, 2.6 * rows),
+                             squeeze=False)
+    for ax in axes.ravel():
+        ax.set_visible(False)
+    for i, name in enumerate(names):
+        ax = axes[i // cols][i % cols]
+        ax.set_visible(True)
+        sub = results.loc[results[illusion_col] == name, value_col]
+        ax.hist(sub, bins=bins, range=(0, 1), color="#4878a8")
+        ax.set_title(str(name), fontsize=9)
+        ax.set_xlim(0, 1)
+    fig.tight_layout()
+    fig.savefig(path, dpi=110)
+    plt.close(fig)
+    return path
+
+
+def plot_medians(
+    summary: pd.DataFrame,
+    path: str,
+    illusion_col: str = "illusion_name",
+):
+    """Median strength per illusion with sd error bars — the Rmd's
+    "Median of normalized values, with errors" figure (:311)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    s = summary.sort_values("median")
+    fig, ax = plt.subplots(figsize=(1.0 + 0.8 * len(s), 3.2))
+    ax.bar(s[illusion_col], s["median"], yerr=s["sd"].fillna(0.0),
+           color="#4878a8", capsize=3)
+    ax.set_ylabel("median normalized strength")
+    ax.tick_params(axis="x", rotation=45, labelsize=8)
+    fig.tight_layout()
+    fig.savefig(path, dpi=110)
+    plt.close(fig)
+    return path

@@ -145,3 +145,19 @@ class TestEquilum:
         # bg is masked in HSV space (reference semantics,
         # generate_illusion.py:358-359): HSV(1,1,1) -> pure red
         np.testing.assert_array_equal(img[0, 0, 0], [255, 0, 0])
+
+
+class TestPlots:
+    def test_figures_render(self, tmp_path):
+        from evolutionary_illusion_generator_tpu.analysis.ratings import (
+            plot_medians,
+            plot_rating_distributions,
+        )
+
+        results = normalize_per_participant(synthetic_study())
+        p1 = plot_rating_distributions(results, str(tmp_path / "hist.png"))
+        p2 = plot_medians(summarize(results), str(tmp_path / "med.png"))
+        import os
+
+        assert os.path.getsize(p1) > 1000
+        assert os.path.getsize(p2) > 1000
