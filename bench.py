@@ -154,8 +154,42 @@ def cpu_baseline():
     return est
 
 
+def measure_tpu_subprocess():
+    """Run the TPU measurement in a watchdogged subprocess.
+
+    The device tunnel has a rare startup race where a fresh client hangs
+    forever on the device claim; a timeout+retry makes the bench robust.
+    """
+    code = (
+        "import sys,json;"
+        "sys.path.insert(0, %r);"
+        "import bench;"
+        "t = bench.measure_generation(bench.POP, bench.REPS);"
+        "print('BENCH_RESULT ' + json.dumps({'t': t}))"
+    ) % os.path.dirname(os.path.abspath(__file__))
+    for attempt in range(3):
+        try:
+            out = subprocess.run(
+                [sys.executable, "-c", code],
+                capture_output=True,
+                text=True,
+                timeout=1800,
+            )
+        except subprocess.TimeoutExpired:
+            log(f"[bench] TPU measurement attempt {attempt} timed out; retrying")
+            continue
+        sys.stderr.write(out.stderr)
+        if out.returncode == 0:
+            for line in out.stdout.splitlines():
+                if line.startswith("BENCH_RESULT "):
+                    return json.loads(line[len("BENCH_RESULT "):])["t"]
+        log(f"[bench] TPU measurement attempt {attempt} failed "
+            f"(rc={out.returncode}); retrying")
+    raise RuntimeError("TPU bench failed after 3 attempts")
+
+
 def main():
-    sec_per_gen = measure_generation(POP, REPS)
+    sec_per_gen = measure_tpu_subprocess()
     evals_per_sec = POP / sec_per_gen
     base = cpu_baseline()
     vs = (base / sec_per_gen) if base else 0.0
