@@ -1,0 +1,70 @@
+"""Spatial (sequence-parallel analogue) sharding of the PredNet rollout.
+
+The reference has no attention and its "sequence" is 22 repeated frames
+(SURVEY.md §2.4): the model's context-parallel analogue is SPATIAL
+partitioning — sharding the image height across chips so each holds a
+horizontal band of every candidate's frames and recurrent state.  The 3x3
+convs need one row of halo per step; XLA's SPMD partitioner inserts those
+halo exchanges (collective-permutes over ICI) automatically from the
+sharding annotations — no hand-written ring code (verified bit-exact vs the
+unsharded rollout on a virtual mesh).
+
+Use for the big-frame configs (1280x960 config point) where per-chip HBM,
+not population, is the binding constraint; compose with the population axis
+on a 2-D (pop, sp) mesh.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models.prednet.model import PredNetParams, rollout_flow_frames
+
+__all__ = ["make_mesh_2d", "make_spatial_rollout"]
+
+
+def make_mesh_2d(n_pop: int, n_sp: int, devices=None) -> Mesh:
+    """(pop, sp) mesh: population-major so spatial halo exchanges stay
+    between ICI neighbours."""
+    devs = list(devices if devices is not None else jax.devices())
+    if len(devs) < n_pop * n_sp:
+        raise ValueError(f"need {n_pop * n_sp} devices, have {len(devs)}")
+    arr = np.array(devs[: n_pop * n_sp]).reshape(n_pop, n_sp)
+    return Mesh(arr, ("pop", "sp"))
+
+
+def make_spatial_rollout(
+    mesh: Mesh,
+    *,
+    repeat: int = 20,
+    extension: int = 2,
+    pair: str = "population",
+    compute_dtype=None,
+):
+    """Jitted flow-frame rollout with params replicated and images sharded
+    (batch over "pop", height over "sp").
+
+    The image height must divide ``mesh.shape["sp"] * 2**(L-1)`` so every
+    pyramid level shards evenly.
+    """
+    import jax.numpy as jnp
+
+    rep = NamedSharding(mesh, P())
+    shard = NamedSharding(mesh, P("pop", "sp", None, None))
+    cd = compute_dtype or jnp.float32
+
+    def run(params: PredNetParams, images):
+        return rollout_flow_frames(
+            params,
+            images,
+            repeat=repeat,
+            extension=extension,
+            pair=pair,
+            compute_dtype=cd,
+        )
+
+    return jax.jit(run, in_shardings=(rep, shard), out_shardings=(shard, shard))
