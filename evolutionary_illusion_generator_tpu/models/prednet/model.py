@@ -70,8 +70,13 @@ def init_params(
     channels: Sequence[int] = (3, 48, 96, 192),
     kernel: int = 3,
     dtype=jnp.bfloat16,
+    peephole: bool = False,
 ) -> PredNetParams:
-    """Random PredNet parameters for the given per-layer channel stack."""
+    """Random PredNet parameters for the given per-layer channel stack.
+
+    ``peephole=True`` adds per-channel Hadamard cell-feedback weights
+    (w_ci/w_cf/w_co), matching the Chainer implementation's ConvLSTM
+    formulation (its spatial EltFilter peepholes import onto these)."""
     L = len(channels)
     params: PredNetParams = []
     keys = jax.random.split(key, L * 3)
@@ -86,6 +91,10 @@ def init_params(
             "ahat_w": _conv_init(keys[3 * l + 1], (kernel, kernel, C, C), dtype),
             "ahat_b": jnp.zeros((C,), dtype),
         }
+        if peephole:
+            layer["w_ci"] = jnp.zeros((C,), dtype)
+            layer["w_cf"] = jnp.zeros((C,), dtype)
+            layer["w_co"] = jnp.zeros((C,), dtype)
         if l + 1 < L:
             layer["a_w"] = _conv_init(
                 keys[3 * l + 2], (kernel, kernel, 2 * C, channels[l + 1]), dtype
@@ -159,20 +168,33 @@ def _maxpool2(x):
     )
 
 
-def _lstm_gates_jnp(gates, c_prev):
-    """Gate math in the gates' dtype: i,f,o sigmoid; g tanh; c = f*c + i*g."""
+def _lstm_gates_jnp(gates, c_prev, peephole=None):
+    """Gate math in the gates' dtype: i,f,o sigmoid; g tanh; c = f*c + i*g.
+
+    ``peephole``, when given, is a dict of Hadamard cell-feedback weights
+    (w_ci, w_cf, w_co) — the Chainer implementation's peephole connections
+    (its ``EltFilter`` weights are per-element (H, W, C); per-channel (C,)
+    vectors broadcast equally well here).  i/f peep at c_{t-1}, o peeps at
+    the new c (standard Gers-Schmidhuber formulation).
+    """
     i, f, o, g = jnp.split(gates, 4, axis=-1)
+    cp = c_prev.astype(gates.dtype)
+    if peephole is not None:
+        i = i + peephole["w_ci"].astype(gates.dtype) * cp
+        f = f + peephole["w_cf"].astype(gates.dtype) * cp
     i = jax.nn.sigmoid(i)
     f = jax.nn.sigmoid(f)
-    o = jax.nn.sigmoid(o)
     g = jnp.tanh(g)
-    c = f * c_prev.astype(gates.dtype) + i * g
+    c = f * cp + i * g
+    if peephole is not None:
+        o = o + peephole["w_co"].astype(gates.dtype) * c
+    o = jax.nn.sigmoid(o)
     h = o * jnp.tanh(c)
     return h, c
 
 
-def _apply_gates(gates, c_prev, use_pallas: bool):
-    if use_pallas:
+def _apply_gates(gates, c_prev, use_pallas: bool, peephole=None):
+    if use_pallas and peephole is None:
         from ...ops.convlstm_pallas import fused_lstm_gates
 
         # off-TPU (CPU test mesh) the kernel runs in interpreter mode
@@ -180,7 +202,7 @@ def _apply_gates(gates, c_prev, use_pallas: bool):
         return fused_lstm_gates(
             gates.astype(jnp.float32), c_prev, interpret=interpret
         )
-    return _lstm_gates_jnp(gates, c_prev)
+    return _lstm_gates_jnp(gates, c_prev, peephole)
 
 
 def prednet_step(
@@ -225,7 +247,10 @@ def prednet_step(
         gates = gates + _conv_nobias(s["r"], w_r, cd)
         if r_above is not None:
             gates = gates + _conv_nobias(_upsample2(r_above), w[:, :, 3 * C :], cd)
-        h, c = _apply_gates(gates, s["c"], use_pallas)
+        peephole = None
+        if "w_ci" in params[l]:
+            peephole = {k: params[l][k] for k in ("w_ci", "w_cf", "w_co")}
+        h, c = _apply_gates(gates, s["c"], use_pallas, peephole)
         new_state[l]["r"] = h.astype(dtype)
         new_state[l]["c"] = c.astype(dtype)
         r_above = new_state[l]["r"]

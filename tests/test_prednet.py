@@ -111,3 +111,32 @@ class TestFusedGates:
             rtol=2e-3,
             atol=2e-3,
         )
+
+
+class TestPeephole:
+    def test_zero_peephole_matches_plain(self, images):
+        p_plain = init_params(jax.random.PRNGKey(5), CHANNELS)
+        p_peep = init_params(jax.random.PRNGKey(5), CHANNELS, peephole=True)
+        # zero-initialized peepholes are a no-op
+        s0 = init_state(B, H, W, CHANNELS)
+        _, a = prednet_step(p_plain, s0, images)
+        _, b = prednet_step(p_peep, init_state(B, H, W, CHANNELS), images)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_nonzero_peephole_changes_output(self, images):
+        p_peep = init_params(jax.random.PRNGKey(5), CHANNELS, peephole=True)
+        _, a = prednet_step(p_peep, init_state(B, H, W, CHANNELS), images)
+        # run two steps so c != 0 feeds the peepholes
+        s, _ = prednet_step(p_peep, init_state(B, H, W, CHANNELS), images)
+        for l in range(len(p_peep)):
+            p_peep[l]["w_ci"] = p_peep[l]["w_ci"] + 1.0
+            p_peep[l]["w_cf"] = p_peep[l]["w_cf"] - 0.5
+        s2, _ = prednet_step(p_peep, s, images)
+        p_plain = init_params(jax.random.PRNGKey(5), CHANNELS)
+        s3, _ = prednet_step(p_plain, s, images)
+        # the recurrent state must differ once the cell feedback is nonzero
+        diff = np.abs(
+            np.asarray(s2[1]["r"], dtype=np.float32)
+            - np.asarray(s3[1]["r"], dtype=np.float32)
+        ).max()
+        assert diff > 0
