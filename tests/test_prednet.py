@@ -131,6 +131,8 @@ class TestPeephole:
         for l in range(len(p_peep)):
             p_peep[l]["w_ci"] = p_peep[l]["w_ci"] + 1.0
             p_peep[l]["w_cf"] = p_peep[l]["w_cf"] - 0.5
+            # w_co peeps at the NEW cell, which is nonzero from step 2 on
+            p_peep[l]["w_co"] = p_peep[l]["w_co"] + 2.0
         s2, _ = prednet_step(p_peep, s, images)
         p_plain = init_params(jax.random.PRNGKey(5), CHANNELS)
         s3, _ = prednet_step(p_plain, s, images)
