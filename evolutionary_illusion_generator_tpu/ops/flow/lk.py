@@ -151,6 +151,9 @@ def pyramid_lk(
       still inside the image & window residual below ``max_residual``.
     """
     H, W = gray0.shape
+    # drop pyramid levels whose image cannot hold a (win+1) slice window
+    while levels > 1 and min(H, W) // (2 ** (levels - 1)) < win + 2:
+        levels -= 1
     pyr0 = build_pyramid(gray0, levels)
     pyr1 = build_pyramid(gray1, levels)
 
