@@ -13,8 +13,9 @@ float64 numpy with reference-exact math by default (bit-compatible rankings;
 SURVEY.md §7 "fitness-gate divergence"), or stays on device with
 ``score_on_device=True`` for the fully-fused mode.
 
-Population and genome-slot sizes are bucketed (powers of two) so XLA
-recompiles only when a bucket grows.
+Populations are chunked at the host level (one chunk-shaped compile serves
+any population size) and genomes are packed into growable (levels x width)
+CPPN buckets, so XLA recompiles only when a bucket expands.
 """
 
 from __future__ import annotations
