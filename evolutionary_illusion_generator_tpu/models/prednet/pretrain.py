@@ -40,15 +40,25 @@ def pretrain(
     mesh=None,
     log_every: int = 25,
     verbose: bool = True,
+    max_speed: float = 1.0,
+    static_fraction: float = 0.5,
 ):
-    """Train a PredNet on synthetic motion; returns (params, final_loss)."""
+    """Train a PredNet on synthetic motion; returns (params, final_loss).
+
+    Half the sequences are static by default: the fitness oracle repeats a
+    static image, and the predictor must settle (near-zero closed-loop
+    drift) on static input for the plausibility gates to be informative.
+    """
     key = jax.random.PRNGKey(seed)
     params = init_params(key, channels)
     tx = optax.adam(lr)
     opt_state = init_opt_state(tx, params)
     step_fn = make_train_step(tx, mesh=mesh)
     data_fn = jax.jit(
-        lambda k: synthetic_motion_batch(k, batch, T, h, w, channels[0])
+        lambda k: synthetic_motion_batch(
+            k, batch, T, h, w, channels[0],
+            max_speed=max_speed, static_fraction=static_fraction,
+        )
     )
 
     loss = None

@@ -60,13 +60,22 @@ def _sample_shifted(tex, dx, dy, h, w, margin):
     )
 
 
-def synthetic_motion_batch(key, batch, T, h, w, c, max_speed: float = 2.0):
-    """(batch, T, h, w, c) float32 sequences of translating textures."""
+def synthetic_motion_batch(
+    key, batch, T, h, w, c, max_speed: float = 2.0, static_fraction: float = 0.0
+):
+    """(batch, T, h, w, c) float32 sequences of translating textures.
+
+    ``static_fraction`` of the batch gets zero velocity — repeated static
+    frames, the regime the fitness oracle probes (the predictor must settle
+    to ~zero drift on truly static input so that only structure-driven
+    drift survives the plausibility gates)."""
 
     def one(key):
-        k_tex, k_vel, k_chan = jax.random.split(key, 3)
+        k_tex, k_vel, k_chan, k_static = jax.random.split(key, 4)
         margin = int(max_speed * T) + 2
         vel = jax.random.uniform(k_vel, (2,), minval=-max_speed, maxval=max_speed)
+        static = jax.random.uniform(k_static, ()) < static_fraction
+        vel = jnp.where(static, 0.0, vel)
 
         def chan(kc):
             tex = _smooth_texture(kc, h + 2 * margin, w + 2 * margin)
