@@ -12,8 +12,11 @@ express — the input stays in HBM (``pltpu.ANY``) and each program DMAs its
 (rows+2) window into a VMEM scratch explicitly.
 
 Status: correctness-complete (parity-tested against the reference jnp math
-in interpret mode on CPU).  Integration into the rollout (per-layer shapes,
-the summed multi-source gate conv, upsample input) is ROADMAP item 1.
+in interpret mode on CPU).  This environment's remote-compile helper
+crashes on the kernel with an opaque HTTP 500 (no Mosaic diagnostic is
+relayed), so on-hardware timing is pending a local-compile environment;
+integration into the rollout (per-layer shapes, the summed multi-source
+gate conv, upsample input) is ROADMAP item 1.
 """
 
 from __future__ import annotations
@@ -42,28 +45,29 @@ def _make_kernel(rows: int, W: int, Cin: int, C: int):
             copy.wait()
 
             x = x_vmem[:].astype(jnp.bfloat16)  # (rows+2, W+2, Cin)
-            acc = jnp.zeros((rows * W, 4 * C), jnp.float32)
+            # contract the channel dim directly ((rows, W, Cin) x (Cin, 4C))
+            # — no cross-dim reshapes, which Mosaic cannot always lower
+            acc = jnp.zeros((rows, W, 4 * C), jnp.float32)
             for ky in range(3):
                 for kx in range(3):
-                    tap = x[ky : ky + rows, kx : kx + W, :].reshape(
-                        rows * W, Cin
-                    )
-                    acc = acc + jnp.dot(
+                    tap = x[ky : ky + rows, kx : kx + W, :]
+                    acc = acc + jax.lax.dot_general(
                         tap,
                         w_ref[ky, kx].astype(jnp.bfloat16),
+                        dimension_numbers=(((2,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32,
                     )
             gates = acc + b_ref[:].astype(jnp.float32)
 
-            i = jax.nn.sigmoid(gates[:, 0 * C : 1 * C])
-            f = jax.nn.sigmoid(gates[:, 1 * C : 2 * C])
-            o = jax.nn.sigmoid(gates[:, 2 * C : 3 * C])
-            g = jnp.tanh(gates[:, 3 * C : 4 * C])
-            c_prev = c_ref[0].reshape(rows * W, C).astype(jnp.float32)
+            i = jax.nn.sigmoid(gates[..., 0 * C : 1 * C])
+            f = jax.nn.sigmoid(gates[..., 1 * C : 2 * C])
+            o = jax.nn.sigmoid(gates[..., 2 * C : 3 * C])
+            g = jnp.tanh(gates[..., 3 * C : 4 * C])
+            c_prev = c_ref[0].astype(jnp.float32)
             c = f * c_prev + i * g
             h = o * jnp.tanh(c)
-            h_out_ref[0] = h.reshape(rows, W, C).astype(h_out_ref.dtype)
-            c_out_ref[0] = c.reshape(rows, W, C).astype(c_out_ref.dtype)
+            h_out_ref[0] = h.astype(h_out_ref.dtype)
+            c_out_ref[0] = c.astype(c_out_ref.dtype)
 
         pl.run_scoped(
             body,
