@@ -73,3 +73,38 @@ class TestProbe:
         arr = np.asarray(out)
         assert (arr[0] == 255).all()  # white padding rows
         assert (arr[60] == 0).any()  # content present
+
+
+class TestCliMain:
+    def test_main_end_to_end(self, tmp_path, monkeypatch):
+        """Full CLI invocation with reference-style flags (tiny predictor)."""
+        from evolutionary_illusion_generator_tpu.cli import main
+
+        cfg = str(tmp_path / "tiny.txt")
+        with open(cfg, "w") as f:
+            f.write(
+                "[NEAT]\n"
+                "no_fitness_termination = True\n"
+                "fitness_criterion = mean\n"
+                "fitness_threshold = 0.3\n"
+                "pop_size = 4\n"
+                "reset_on_extinction = False\n"
+                "[DefaultGenome]\n"
+                "num_hidden = 4\nnum_inputs = 2\nnum_outputs = 1\n"
+                "feed_forward = True\n"
+                "initial_connection = partial_nodirect 0.8\n"
+                "[DefaultSpeciesSet]\ncompatibility_threshold = 3.0\n"
+                "[DefaultStagnation]\nspecies_fitness_func = max\n"
+                "[DefaultReproduction]\nelitism = 2\nmin_species_size = 4\n"
+            )
+        out = str(tmp_path / "out")
+        rc = main(
+            ["-o", out, "-s", "1", "-c", "1", "-g", "0",
+             "-ch", "1,4,8", "-cfg", cfg, "--generations", "1",
+             "--seed", "0"]
+        )
+        assert rc == 0
+        import os
+
+        assert os.path.exists(os.path.join(out, "best.png"))
+        assert os.path.exists(os.path.join(out, "metrics.jsonl"))
