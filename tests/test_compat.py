@@ -120,3 +120,29 @@ class TestCreateCppnShim:
                 packed["act_id"], packed["out_slot"], flat)
         )[0, 0].reshape(3, 4)
         np.testing.assert_allclose(out, want, atol=1e-6)
+
+
+def test_skip_save_frames_renumbers(tmp_path):
+    """skip>1 saves every skip-th prediction, renumbered consecutively
+    (the reference indexes saved frames as i*(repeat/skip)+...)."""
+    rng = np.random.default_rng(2)
+    w, h, repeat = 32, 24, 4
+    p = str(tmp_path / "in.png")
+    save_image(rng.uniform(0, 1, (h, w, 3)), p)
+    out_dir = str(tmp_path / "pred")
+    test_prednet(
+        initmodel="",
+        sequence_list=[[p] * (2 * repeat)],
+        size=[w, h],
+        channels=[3, 4, 8],
+        output_dir=out_dir,
+        skip_save_frames=2,
+        extension_start=repeat,
+        extension_duration=1,
+        reset_at=repeat + 1,
+    )
+    saved = sorted(
+        f for f in os.listdir(out_dir) if not f.endswith("_extended.png")
+    )
+    # 2 windows x 4 inputs, every 2nd saved -> 4 files numbered 0..3
+    assert saved == [f"{i:010d}.png" for i in range(4)]
