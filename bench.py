@@ -6,7 +6,7 @@ pop=100, 640x480, color channels [3,48,96,192], Free structure.
 
 The reference publishes no perf numbers (BASELINE.md), so ``vs_baseline`` is
 the self-measured speedup over the same pipeline run on CPU: the CPU
-baseline is measured once at pop=2 (the pipeline is embarrassingly parallel
+baseline is measured once at pop=8 (the pipeline is embarrassingly parallel
 over candidates, so cost scales linearly in pop) and cached in
 BASELINE_SELF.json.
 

@@ -22,7 +22,9 @@ def main(output_dir: str = "quickstart_results") -> None:
     # --- evolve (notebook cell 12: generate_illusion.py -s 1 ...) -------
     pop = neat_illusion(
         output_dir,
-        model_name=None,  # no .model file -> seeded random predictor
+        model_name=None,  # no .model file -> the bundled stand-in weights
+        # for this channel stack (load_or_init falls back to a seeded random
+        # predictor only when no stand-in is shipped either)
         config=preset("circles_bw").replace(pop_size=8, min_species_size=4),
         structure=StructureType.Circles,
         w=160,
