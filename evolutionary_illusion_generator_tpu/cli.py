@@ -49,6 +49,9 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--microbatch", default=0, type=int, help="population microbatch size (memory bound)")
     parser.add_argument("--preset", default="", help="named run preset (BASELINE config point); overrides size/structure flags")
     parser.add_argument("--profile_dir", default="", help="dump a jax.profiler trace of generation 1 here")
+    parser.add_argument("--equilum", action="store_true", help="equiluminant (HSV) rendering — working version of the reference's dead path (generate_illusion.py:511)")
+    parser.add_argument("--pertype_count", default=1, type=int, help="renders per genome, fitness = mean over renders (reference latent-traversal machinery, generate_illusion.py:495-496)")
+    parser.add_argument("--tensorboard", action="store_true", help="write TensorBoard scalars to <output_dir>/tensorboard beside metrics.jsonl")
     return parser
 
 
@@ -65,6 +68,9 @@ def main(argv: Optional[List[str]] = None) -> int:
         score_on_device=args.score_on_device,
         use_pallas=args.use_pallas,
         profile_dir=args.profile_dir or None,
+        equilum=args.equilum,
+        pertype_count=args.pertype_count,
+        tensorboard=args.tensorboard,
     )
 
     if args.preset:

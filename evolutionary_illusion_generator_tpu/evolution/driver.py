@@ -75,6 +75,9 @@ def neat_illusion(
     repeat: int = 20,
     extension: int = 2,
     flow: Optional[FlowConfig] = None,
+    equilum: bool = False,
+    pertype_count: int = 1,
+    tensorboard: bool = False,
     save_artifacts: bool = True,
     quiet: bool = False,
     n_devices: Optional[int] = None,
@@ -102,6 +105,8 @@ def neat_illusion(
         repeat=repeat,
         extension=extension,
         flow=flow or FlowConfig(),
+        equilum=equilum,
+        pertype_count=pertype_count,
         score_on_device=score_on_device,
         use_pallas=use_pallas,
         microbatch=microbatch,
@@ -124,6 +129,12 @@ def neat_illusion(
     stats = StatisticsReporter()
     pop.add_reporter(stats)
     pop.add_reporter(JsonlReporter(os.path.join(output_dir, "metrics.jsonl")))
+    if tensorboard:
+        from ..neat.reporters import TensorBoardReporter
+
+        pop.add_reporter(
+            TensorBoardReporter(os.path.join(output_dir, "tensorboard"))
+        )
     ckpt = Checkpointer(checkpoint_every, directory=output_dir)
     ckpt.attach(pop)
     pop.add_reporter(ckpt)
@@ -136,15 +147,17 @@ def neat_illusion(
             evaluator(genome_items, cfg)
         if save_artifacts:
             res = evaluator.last_results
-            i = res["best_idx"]
-            best_genome = genome_items[i][1]
-            vectors = res["vectors"][i][res["mask"][i]]
+            best_genome = genome_items[res["best_idx"]][1]
+            # device rows are per render (pertype_count per genome); the
+            # winner's best render drives the artifacts
+            row = res["best_row"]
+            vectors = res["vectors"][row][res["mask"][row]]
             # only the winner's image/flow frame leave the device
             save_best_artifacts(
                 best_genome,
-                res["outputs"].fetch("images_u8", i),
+                res["outputs"].fetch("images_u8", row),
                 vectors,
-                res["outputs"].fetch("flow_frame0", i),
+                res["outputs"].fetch("flow_frame0", row),
                 neat_cfg,
                 structure,
                 c_dim,

@@ -69,6 +69,13 @@ class EvalConfig:
     equilum: bool = False
     repeat: int = 20  # open-loop presentations (generate_illusion.py:483)
     extension: int = 2  # closed-loop frames (:531)
+    # Renders per genome — the reference's latent-space traversal machinery
+    # (s_step=2 -> pertype_count=1, generate_illusion.py:495-496): each
+    # genome is rendered/evaluated this many times and its fitness is the
+    # mean over renders (the reference sums score_d then divides, :615-616).
+    # Vestigial there (the latent value s_val is computed but never reaches
+    # the renderer, so renders are identical); surfaced here as a knob.
+    pertype_count: int = 1
     flow: FlowConfig = field(default_factory=FlowConfig)
     score_on_device: bool = False
     # host scoring backend: "auto" (C++ if buildable, else numpy),
@@ -310,7 +317,8 @@ class GenerationEvaluator:
     def __call__(self, population: List[Tuple[int, Genome]], neat_cfg=None):
         """Fitness-function interface for :class:`..neat.Population`."""
         cfg = self.cfg
-        genomes = [g for _, g in population]
+        pertype = max(1, cfg.pertype_count)
+        genomes = [g for _, g in population for _ in range(pertype)]
         t0 = time.time()
         outputs = self.evaluate_images(genomes)
         small = outputs.small()  # vectors + masks (+ device scores): ~KBs
@@ -331,6 +339,10 @@ class GenerationEvaluator:
                     f"reference NaN propagation"
                 )
                 scores = np.where(bad, 0.0, scores)
+        # per-genome fitness = mean over the pertype_count renders
+        # (generate_illusion.py:615-616: m = score / pertype_count)
+        per_render = scores.reshape(len(population), pertype)
+        scores = per_render.mean(axis=1)
         t2 = time.time()
 
         best_idx = 0
@@ -347,6 +359,10 @@ class GenerationEvaluator:
         self.last_results = {
             "best_idx": best_idx,
             "best_score": best_score,
+            # device-output row of the winner's best render ("vectors"/"mask"
+            # and ``outputs`` rows are per RENDER: population x pertype_count)
+            "best_row": best_idx * pertype
+            + int(np.argmax(per_render[best_idx])),
             "outputs": outputs,
             "vectors": small["vectors"],
             "mask": small["mask"],

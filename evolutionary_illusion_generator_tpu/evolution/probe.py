@@ -35,6 +35,13 @@ from ..utils.image_io import load_image
 __all__ = ["get_vectors", "score_image", "pad_to_size", "main"]
 
 
+def _png_quantize(x: np.ndarray) -> np.ndarray:
+    """Round-trip through the reference's PNG bus numerics: uint8 truncation
+    on save (image_io.save_image) then /255 on load."""
+    x = np.asarray(x, np.float32)
+    return np.floor(np.clip(x, 0.0, 1.0) * 255.0).astype(np.float32) / 255.0
+
+
 def get_vectors(
     image_path: str,
     model_name: Optional[str],
@@ -46,8 +53,17 @@ def get_vectors(
     extension: int = 2,
     flow: FlowConfig = FlowConfig(),
     seed: int = 0,
+    quantize: bool = True,
 ):
     """Flow vectors for one image through the probe pipeline.
+
+    ``quantize=True`` (default) puts both flow frames through uint8 PNG
+    quantization before the flow stage: the reference always computes flow
+    between files on disk (fitness_calculator.py:493-498), so the 8-bit
+    round-trip is part of its numerics, and with it this function matches
+    the ``compat.test_prednet`` + ``lucas_kanade`` file bus bit-for-bit
+    (tests/test_compat.py).  ``quantize=False`` keeps the pure-float device
+    frames.
 
     Returns an (N, 4) numpy array of [x, y, dx, dy] rows (empty when
     nothing was trackable — the reference returns ``[None]`` then).
@@ -59,7 +75,12 @@ def get_vectors(
     f0, f1 = rollout_flow_frames(
         params, batch, repeat=repeat, extension=extension, pair="probe"
     )
-    vec, mask = flow_vectors(to_gray(f0[0]), to_gray(f1[0]), flow)
+    f0, f1 = np.asarray(f0[0]), np.asarray(f1[0])
+    if quantize:
+        f0, f1 = _png_quantize(f0), _png_quantize(f1)
+    vec, mask = flow_vectors(
+        to_gray(jnp.asarray(f0)), to_gray(jnp.asarray(f1)), flow
+    )
     return np.asarray(vec)[np.asarray(mask)]
 
 

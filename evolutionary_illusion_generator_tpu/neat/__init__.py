@@ -12,7 +12,12 @@ from .checkpoint import Checkpointer, restore_checkpoint, save_checkpoint
 from .config import PRESET_NAMES, NeatConfig, load_config, preset
 from .genome import ConnectionGene, Genome, NodeGene, creates_cycle
 from .population import CompleteExtinctionException, Population
-from .reporters import JsonlReporter, StatisticsReporter, StdOutReporter
+from .reporters import (
+    JsonlReporter,
+    StatisticsReporter,
+    StdOutReporter,
+    TensorBoardReporter,
+)
 from .reproduction import Reproduction
 from .species import Species, SpeciesSet
 
@@ -36,4 +41,5 @@ __all__ = [
     "StdOutReporter",
     "StatisticsReporter",
     "JsonlReporter",
+    "TensorBoardReporter",
 ]

@@ -12,7 +12,13 @@ from typing import Dict, List, Optional
 
 import numpy as np
 
-__all__ = ["BaseReporter", "StdOutReporter", "StatisticsReporter", "JsonlReporter"]
+__all__ = [
+    "BaseReporter",
+    "StdOutReporter",
+    "StatisticsReporter",
+    "JsonlReporter",
+    "TensorBoardReporter",
+]
 
 
 class BaseReporter:
@@ -91,6 +97,43 @@ class StatisticsReporter(BaseReporter):
 
     def best_genome(self):
         return max(self.most_fit_genomes, key=lambda g: g.fitness)
+
+
+class TensorBoardReporter(BaseReporter):
+    """Per-generation scalars as TensorBoard event files (SURVEY.md §5
+    observability row's optional extra beside the JSONL metrics).
+
+    The writer import is lazy so the dependency stays optional: constructing
+    the reporter without a usable ``tensorboard`` install raises ImportError.
+    """
+
+    def __init__(self, log_dir: str) -> None:
+        from torch.utils.tensorboard import SummaryWriter
+
+        self._writer = SummaryWriter(log_dir=log_dir)
+        self.generation: Optional[int] = None
+        self._t0 = 0.0
+
+    def start_generation(self, generation: int) -> None:
+        self.generation = generation
+        self._t0 = time.time()
+
+    def post_evaluate(self, population, species_set, best_genome) -> None:
+        fitnesses = [g.fitness for g in population.values()]
+        g = self.generation
+        w = self._writer
+        w.add_scalar("fitness/mean", float(np.mean(fitnesses)), g)
+        w.add_scalar("fitness/std", float(np.std(fitnesses)), g)
+        w.add_scalar("fitness/max", float(np.max(fitnesses)), g)
+        w.add_scalar("population/size", len(population), g)
+        w.add_scalar("population/num_species", len(species_set.species), g)
+        w.add_scalar("best/nodes", best_genome.size()[0], g)
+        w.add_scalar("best/connections", best_genome.size()[1], g)
+        w.add_scalar("time/eval_seconds", time.time() - self._t0, g)
+        w.flush()
+
+    def close(self) -> None:
+        self._writer.close()
 
 
 class JsonlReporter(BaseReporter):

@@ -122,6 +122,54 @@ class TestCreateCppnShim:
         np.testing.assert_allclose(out, want, atol=1e-6)
 
 
+def test_probe_matches_file_bus_exactly(tmp_path):
+    """The native probe (evolution/probe.get_vectors, probe flow-pair
+    convention: input image vs extended frame repeat+1, SURVEY.md Appendix C
+    #9) must produce IDENTICAL vectors to the reference-contract file path
+    (compat.test_prednet writing PNGs + lucas_kanade reading them) — the
+    probe's PNG quantization closes the 8-bit gap between the two buses."""
+    from evolutionary_illusion_generator_tpu.evolution.probe import get_vectors
+
+    rng = np.random.default_rng(7)
+    w, h, repeat, ext = 64, 48, 4, 2
+    channels = [3, 4, 8]
+    p = str(tmp_path / "input.png")
+    import cv2
+
+    tex = cv2.resize(rng.uniform(0, 1, (6, 8)), (w, h),
+                     interpolation=cv2.INTER_CUBIC)
+    save_image(np.clip(tex, 0, 1)[..., None].repeat(3, -1), p)
+
+    # file bus: test_prednet writes predictions, lucas_kanade reads the
+    # probe pair (input image vs %010d_extended.png at index repeat+1,
+    # fitness_calculator.py:493-498)
+    out_dir = str(tmp_path / "pred")
+    test_prednet(
+        initmodel="",
+        sequence_list=[[p] * repeat],
+        size=[w, h],
+        channels=channels,
+        output_dir=out_dir,
+        extension_start=repeat,
+        extension_duration=ext,
+        reset_at=repeat + ext,
+    )
+    res = lucas_kanade(
+        p, os.path.join(out_dir, f"{repeat + 1:010d}_extended.png"),
+        str(tmp_path),
+    )
+    file_vectors = np.asarray(res["vectors"], dtype=np.float32).reshape(-1, 4)
+
+    # native probe, same model (seeded random init for this channel stack)
+    probe_vectors = np.asarray(
+        get_vectors(p, None, channels, w, h, repeat=repeat, extension=ext),
+        dtype=np.float32,
+    ).reshape(-1, 4)
+
+    assert probe_vectors.shape == file_vectors.shape
+    np.testing.assert_array_equal(probe_vectors, file_vectors)
+
+
 def test_skip_save_frames_renumbers(tmp_path):
     """skip>1 saves every skip-th prediction, renumbered consecutively
     (the reference indexes saved frames as i*(repeat/skip)+...)."""
