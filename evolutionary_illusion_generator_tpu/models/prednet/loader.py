@@ -54,47 +54,193 @@ def load_params(path: str, dtype=jnp.bfloat16) -> PredNetParams:
 def load_chainer_model(
     path: str, channels: Sequence[int], dtype=jnp.bfloat16
 ) -> PredNetParams:
-    """Best-effort import of a Chainer PredNet NPZ snapshot.
+    """Import a Chainer PredNet NPZ snapshot into complete native params.
 
-    Chainer convs are OIHW; ours are HWIO.  Gate weight blocks are
-    re-stacked into our fused 4C layout where the per-gate convs can be
-    identified.  Raises ``ValueError`` with the key listing when the naming
-    scheme is unrecognized, so callers can fall back explicitly.
+    The published predictors (fpsi_500000_20v.model / 300000_wb.model,
+    notebook cell 9) are ``chainer.serializers.save_npz`` snapshots of the
+    chainer_prednet ``PredNet`` chain (submodule empty in the reference —
+    link layout inferred from the upstream Chainer PredNet implementation
+    it forks):
+
+      * ``ConvLSTM{l}/Wx{g}{n}/W|b`` — per-source input gate convs, gate
+        g in {i, f, c, o}, source n = 0 (E_l, 2*C channels) and, below the
+        top layer, n = 1 (upsampled R_{l+1});
+      * ``ConvLSTM{l}/Wh{g}/W`` — recurrent convs on R_l (no bias);
+      * ``ConvLSTM{l}/Wc{g}/W`` — EltFilter spatial peepholes, g in
+        {i, f, o} (Hadamard weights on the cell state, shape
+        (batch, C, H, W));
+      * ``ConvP{l}/W|b`` — the Ahat prediction conv;
+      * ``ConvA{l}/W|b`` — the A feed-forward conv (l < L-1).
+
+    Everything is re-stacked into this package's fused layout
+    (model.py ``init_params``): one (k, k, 2C + C + C_above, 4C) gate conv
+    per layer, input slices ordered [E_l, R_l, up(R_{l+1})], gate order
+    (i, f, o, c) per ``_lstm_gates_jnp``; peepholes land on the
+    ``w_ci/w_cf/w_co`` slots as (H, W, C) Hadamard weights (they broadcast
+    against (B, H, W, C) exactly like the per-channel vectors
+    ``init_params`` creates).  Chainer convs are OIHW; ours are HWIO.
+    E-unit half order is [ReLU(Ahat-A), ReLU(A-Ahat)] (model.py
+    ``prednet_step``) — the Wx*0 input slice is imported positionally, so
+    a snapshot trained with the opposite half order would need its first
+    and second C-channel blocks swapped.
+
+    Key prefixes from trainer snapshots (``predictor/...``,
+    ``updater/model:main/...``) are stripped automatically.  Raises
+    ``ValueError`` naming the first missing link when the file does not
+    contain a recognizable PredNet for ``channels``.
     """
     data = np.load(path, allow_pickle=True)
     keys = sorted(data.files)
-
-    def to_hwio(w):
-        return np.transpose(w, (2, 3, 1, 0))
-
-    native = all(re.match(r"l\d+/", k) for k in keys)
-    if native:
+    if keys and all(re.match(r"l\d+/", k) for k in keys):
         return load_params(path, dtype)
 
-    # Common chainer layouts name links like 'con0/W', 'ConvLSTM0/Wxi/W', ...
-    lstm_gate_names = ("i", "f", "o", "c")
-    params: PredNetParams = []
-    try:
-        L = len(channels)
-        for l in range(L):
-            layer = {}
-            gates_w, gates_b = [], []
-            for g in lstm_gate_names:
-                wkeys = [k for k in keys if re.search(rf"(?i)lstm.?{l}.*x{g}/W$", k)]
-                if not wkeys:
-                    raise KeyError(f"layer {l} gate {g}")
-                gates_w.append(to_hwio(data[wkeys[0]]))
-                bkeys = [k for k in keys if re.search(rf"(?i)lstm.?{l}.*x{g}/b$", k)]
-                gates_b.append(data[bkeys[0]] if bkeys else
-                               np.zeros(gates_w[-1].shape[-1]))
-            layer["lstm_w"] = jnp.asarray(np.concatenate(gates_w, axis=-1), dtype)
-            layer["lstm_b"] = jnp.asarray(np.concatenate(gates_b, axis=-1), dtype)
-            params.append(layer)
-    except KeyError as e:
+    # index: normalized (kind, layer, link, param) -> array.  Prefixes
+    # before the PredNet link names are ignored.
+    index = {}
+    pat_lstm = re.compile(
+        r"(?i)(?:^|/)conv_?lstm_?(\d+)/(w[xhc][ifco]\d*)/(W|b)$"
+    )
+    pat_p = re.compile(r"(?i)(?:^|/)conv_?p_?(\d+)/(W|b)$")
+    pat_a = re.compile(r"(?i)(?:^|/)conv_?a_?(\d+)/(W|b)$")
+    for k in keys:
+        m = pat_lstm.search(k)
+        if m:
+            index[("lstm", int(m.group(1)), m.group(2).lower(), m.group(3))] = k
+            continue
+        m = pat_p.search(k)
+        if m:
+            index[("p", int(m.group(1)), "", m.group(2))] = k
+            continue
+        m = pat_a.search(k)
+        if m:
+            index[("a", int(m.group(1)), "", m.group(2))] = k
+
+    if not index:
         raise ValueError(
-            f"unrecognized Chainer PredNet naming in {path!r} (missing {e}); "
+            f"{path!r} is neither a native PredNet checkpoint nor a Chainer "
+            f"PredNet snapshot (no ConvLSTM*/ConvP*/ConvA* links); "
             f"keys: {keys[:20]}..."
         )
+
+    def to_hwio(w):
+        return np.transpose(np.asarray(w, np.float32), (2, 3, 1, 0))
+
+    def get(kind, l, link="", param="W", required=True):
+        key = index.get((kind, l, link, param))
+        if key is None:
+            if required:
+                raise ValueError(
+                    f"Chainer PredNet snapshot {path!r} is missing "
+                    f"{kind}{l}/{link or ''}/{param} for channel stack "
+                    f"{list(channels)}; found links: "
+                    f"{sorted(set(i[:3] for i in index))[:30]}"
+                )
+            return None
+        return np.asarray(data[key], np.float32)
+
+    L = len(channels)
+    params: PredNetParams = []
+    for l in range(L):
+        C = channels[l]
+        c_above = channels[l + 1] if l + 1 < L else 0
+        in_ch = 3 * C + c_above
+
+        # probe kernel size from the first gate conv present
+        wxi0 = get("lstm", l, "wxi0", "W", required=False)
+        bare = wxi0 is None
+        if bare:
+            # single-source variant: un-numbered Wx* convs on concat input
+            wxi0 = get("lstm", l, "wxi", "W")
+        kh, kw = wxi0.shape[2], wxi0.shape[3]
+
+        lstm_w = np.zeros((kh, kw, in_ch, 4 * C), np.float32)
+        lstm_b = np.zeros((4 * C,), np.float32)
+        # our fused gate order (model.py _lstm_gates_jnp jnp.split): i,f,o,g
+        # with g = the Chainer "c" (tanh input) gate
+        for gi, g in enumerate(("i", "f", "o", "c")):
+            sl = slice(gi * C, (gi + 1) * C)
+            if bare:
+                wx = to_hwio(get("lstm", l, f"wx{g}", "W"))
+                if wx.shape[2] not in (2 * C, 2 * C + c_above):
+                    raise ValueError(
+                        f"ConvLSTM{l}/Wx{g} input width {wx.shape[2]} does "
+                        f"not match channels {list(channels)}"
+                    )
+                lstm_w[:, :, : 2 * C, sl] = wx[:, :, : 2 * C]
+                if wx.shape[2] == 2 * C + c_above and c_above:
+                    lstm_w[:, :, 3 * C :, sl] = wx[:, :, 2 * C :]
+                b = get("lstm", l, f"wx{g}", "b", required=False)
+            else:
+                wx0 = to_hwio(get("lstm", l, f"wx{g}0", "W"))
+                if wx0.shape != (kh, kw, 2 * C, C):
+                    raise ValueError(
+                        f"ConvLSTM{l}/Wx{g}0 shape {wx0.shape[::-1]} does "
+                        f"not match channels {list(channels)} (expected "
+                        f"in={2 * C}, out={C})"
+                    )
+                lstm_w[:, :, : 2 * C, sl] = wx0
+                b = get("lstm", l, f"wx{g}0", "b", required=False)
+                if c_above:
+                    wx1 = get("lstm", l, f"wx{g}1", "W")
+                    lstm_w[:, :, 3 * C :, sl] = to_hwio(wx1)
+                    b1 = get("lstm", l, f"wx{g}1", "b", required=False)
+                    if b1 is not None:
+                        lstm_b[sl] += b1
+            if b is not None:
+                lstm_b[sl] += b
+            wh = get("lstm", l, f"wh{g}", "W", required=False)
+            if wh is not None:
+                lstm_w[:, :, 2 * C : 3 * C, sl] = to_hwio(wh)
+
+        layer = {
+            "lstm_w": jnp.asarray(lstm_w, dtype),
+            "lstm_b": jnp.asarray(lstm_b, dtype),
+        }
+
+        # spatial peepholes (EltFilter W: (batch, C, H, W) -> (H, W, C))
+        peeps = {}
+        for g, name in (("i", "w_ci"), ("f", "w_cf"), ("o", "w_co")):
+            wc = get("lstm", l, f"wc{g}", "W", required=False)
+            if wc is not None:
+                wc = wc.reshape(wc.shape[-3:])  # drop batch dim if present
+                peeps[name] = jnp.asarray(np.transpose(wc, (1, 2, 0)), dtype)
+        if peeps:
+            if len(peeps) != 3:
+                raise ValueError(
+                    f"ConvLSTM{l} has a partial peephole set "
+                    f"{sorted(peeps)}; expected Wci/Wcf/Wco"
+                )
+            layer.update(peeps)
+
+        ahat_w = get("p", l)
+        if ahat_w.shape[:2] != (C, C):
+            raise ValueError(
+                f"ConvP{l} shape {ahat_w.shape} does not match channels "
+                f"{list(channels)} (expected out=in={C})"
+            )
+        layer["ahat_w"] = jnp.asarray(to_hwio(ahat_w), dtype)
+        ahat_b = get("p", l, "", "b", required=False)
+        layer["ahat_b"] = jnp.asarray(
+            ahat_b if ahat_b is not None else np.zeros((C,), np.float32), dtype
+        )
+
+        if l + 1 < L:
+            a_w = get("a", l)
+            if a_w.shape[:2] != (channels[l + 1], 2 * C):
+                raise ValueError(
+                    f"ConvA{l} shape {a_w.shape} does not match channels "
+                    f"{list(channels)} (expected in={2 * C}, "
+                    f"out={channels[l + 1]})"
+                )
+            layer["a_w"] = jnp.asarray(to_hwio(a_w), dtype)
+            a_b = get("a", l, "", "b", required=False)
+            layer["a_b"] = jnp.asarray(
+                a_b
+                if a_b is not None
+                else np.zeros((channels[l + 1],), np.float32),
+                dtype,
+            )
+        params.append(layer)
     return params
 
 

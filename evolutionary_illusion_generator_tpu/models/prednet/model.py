@@ -179,15 +179,26 @@ def _lstm_gates_jnp(gates, c_prev, peephole=None):
     """
     i, f, o, g = jnp.split(gates, 4, axis=-1)
     cp = c_prev.astype(gates.dtype)
+
+    def peep(name):
+        w = peephole[name].astype(gates.dtype)
+        # Imported Chainer EltFilter peepholes are spatial (H, W, C) at the
+        # TRAINING resolution; when the run resolution differs they cannot
+        # broadcast — fall back to their per-channel spatial mean (shape
+        # checks happen at trace time, so this costs nothing inside jit).
+        if w.ndim == 3 and w.shape[:2] != cp.shape[1:3]:
+            w = w.mean(axis=(0, 1))
+        return w
+
     if peephole is not None:
-        i = i + peephole["w_ci"].astype(gates.dtype) * cp
-        f = f + peephole["w_cf"].astype(gates.dtype) * cp
+        i = i + peep("w_ci") * cp
+        f = f + peep("w_cf") * cp
     i = jax.nn.sigmoid(i)
     f = jax.nn.sigmoid(f)
     g = jnp.tanh(g)
     c = f * cp + i * g
     if peephole is not None:
-        o = o + peephole["w_co"].astype(gates.dtype) * c
+        o = o + peep("w_co") * c
     o = jax.nn.sigmoid(o)
     h = o * jnp.tanh(c)
     return h, c
