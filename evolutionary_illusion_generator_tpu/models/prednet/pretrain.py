@@ -22,7 +22,7 @@ import optax
 from .loader import save_params
 from .model import init_params
 from .train import init_opt_state, make_train_step
-from .synthetic_data import synthetic_motion_batch
+from .synthetic_data import synthetic_cue_batch, synthetic_motion_batch
 
 __all__ = ["pretrain", "main"]
 
@@ -42,24 +42,40 @@ def pretrain(
     verbose: bool = True,
     max_speed: float = 1.0,
     static_fraction: float = 0.5,
+    data: str = "v3",
+    regime_probs=None,
 ):
     """Train a PredNet on synthetic motion; returns (params, final_loss).
 
-    Half the sequences are static by default: the fitness oracle repeats a
-    static image, and the predictor must settle (near-zero closed-loop
-    drift) on static input for the plausibility gates to be informative.
+    ``data="v3"`` (default) trains on :func:`synthetic_cue_batch` — the
+    appearance->motion cue mixture whose static regimes (smooth textures,
+    plain rings) give the settling pressure and whose always-moving sawtooth
+    regimes give the illusion-triggering drift prior.  ``data="v2"`` is the
+    round-1 translating-texture set (``static_fraction`` of it static).
     """
     key = jax.random.PRNGKey(seed)
     params = init_params(key, channels)
     tx = optax.adam(lr)
     opt_state = init_opt_state(tx, params)
     step_fn = make_train_step(tx, mesh=mesh)
-    data_fn = jax.jit(
-        lambda k: synthetic_motion_batch(
-            k, batch, T, h, w, channels[0],
-            max_speed=max_speed, static_fraction=static_fraction,
+    if data == "v3":
+        kwargs = {}
+        if regime_probs is not None:
+            kwargs["regime_probs"] = tuple(regime_probs)
+        data_fn = jax.jit(
+            lambda k: synthetic_cue_batch(
+                k, batch, T, h, w, channels[0], max_speed=max_speed, **kwargs
+            )
         )
-    )
+    elif data == "v2":
+        data_fn = jax.jit(
+            lambda k: synthetic_motion_batch(
+                k, batch, T, h, w, channels[0],
+                max_speed=max_speed, static_fraction=static_fraction,
+            )
+        )
+    else:
+        raise ValueError(f"unknown data set {data!r}")
 
     loss = None
     t0 = time.time()
@@ -86,6 +102,7 @@ def main(argv: Optional[list] = None) -> int:
     p.add_argument("--width", type=int, default=160)
     p.add_argument("--lr", type=float, default=2e-3)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--data", default="v3", choices=("v2", "v3"))
     p.add_argument("--out", default="")
     args = p.parse_args(argv)
 
@@ -99,6 +116,7 @@ def main(argv: Optional[list] = None) -> int:
         w=args.width,
         lr=args.lr,
         seed=args.seed,
+        data=args.data,
     )
     out = args.out or f"prednet_{'_'.join(map(str, channels))}.npz"
     save_params(params, out)

@@ -1,13 +1,29 @@
 """Synthetic motion sequences for predictor pretraining.
 
 The reference's predictor was trained on first-person motion video (FPSI,
-Readme.md:13) — unavailable here.  These sequences capture the property the
-fitness oracle needs: a predictor with a MOTION PRIOR (smooth textures
-translating at constant velocity), so that repeated static input with
-structure resembling motion produces systematic prediction drift.
+Readme.md:13) — unavailable here.  Two generations of stand-in data:
 
-Each sample: a band-limited random texture translating at a random constant
-subpixel velocity, sampled bilinearly from a larger texture canvas.
+``synthetic_motion_batch`` (v2): band-limited random textures translating at
+constant subpixel velocity (+ a static fraction).  Gives a generic motion
+prior; enough for the swarm/Free metric but not for the circles families.
+
+``synthetic_cue_batch`` (v3): adds the APPEARANCE->MOTION association the
+published predictor exploits.  The rated circles stimuli
+(illusions_rating/EIGEN-images) are rings of repeated asymmetric
+luminance-ramp wedges — Fraser-Wilcox-style sawtooths — while the control
+is plain concentric rings with no tangential gradient.  v3 therefore mixes:
+
+  * asymmetric sawtooth patterns (linear / tangential-ring / radial) that
+    ALWAYS drift toward their luminance-ramp direction, teaching
+    "sawtooth implies motion along the ramp";
+  * symmetric plain-ring patterns that are ALWAYS static, teaching the
+    model to settle on control-like input;
+  * the v2 smooth textures (static + translating) for the generic prior.
+
+A predictor trained on this mixture predicts structure-consistent drift for
+ramp-patterned static input (rotation for tangential rings, expansion for
+radial ones) and near-zero drift for the control — the property the fitness
+oracle needs (eigen_own_ratings.csv ordering).
 """
 
 from __future__ import annotations
@@ -15,7 +31,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-__all__ = ["synthetic_motion_batch"]
+__all__ = ["synthetic_motion_batch", "synthetic_cue_batch"]
 
 
 def _smooth_texture(key, h, w, scale: int = 8):
@@ -89,5 +105,184 @@ def synthetic_motion_batch(
 
         chans = jax.vmap(chan)(jax.random.split(k_chan, c))  # (c, T, h, w)
         return jnp.moveaxis(chans, 0, -1)  # (T, h, w, c)
+
+    return jax.vmap(one)(jax.random.split(key, batch))
+
+
+# ---------------------------------------------------------------------------
+# v3: appearance->motion cue sequences
+
+
+def _asym_ramp(ph, rise: float = 0.8):
+    """Asymmetric sawtooth profile on phase in [0,1): slow rise over
+    ``rise`` of the period, sharp fall over the rest — the local luminance
+    structure of the Fraser-Wilcox / rotating-snakes wedge."""
+    ph = ph - jnp.floor(ph)
+    return jnp.where(ph < rise, ph / rise, (1.0 - ph) / (1.0 - rise))
+
+
+def _sym_rings(ph):
+    """Symmetric square-ish ring profile (control-like): no ramp asymmetry."""
+    ph = ph - jnp.floor(ph)
+    return (ph < 0.5).astype(jnp.float32)
+
+
+def _phase_fields(key, T, h, w):
+    """Per-regime phase fields u(t, y, x); value = ramp(u).
+
+    Motion is ALWAYS toward the ramp direction for the asymmetric regimes
+    (the phase decreases over time, so the pattern drifts toward +u).
+    Returns (T, h, w) phase stacks for: linear, tangential, radial,
+    plain-ring regimes plus the speeds used.
+    """
+    ks = jax.random.split(key, 8)
+    yy, xx = jnp.meshgrid(
+        jnp.arange(h, dtype=jnp.float32), jnp.arange(w, dtype=jnp.float32),
+        indexing="ij",
+    )
+    # jittered center
+    cy = h / 2 + jax.random.uniform(ks[0], (), minval=-h / 8, maxval=h / 8)
+    cx = w / 2 + jax.random.uniform(ks[1], (), minval=-w / 8, maxval=w / 8)
+    yc, xc = yy - cy, xx - cx
+    r = jnp.sqrt(xc**2 + yc**2) + 1e-6
+    phi = jnp.arctan2(yc, xc)
+    t = jnp.arange(T, dtype=jnp.float32)[:, None, None]
+
+    # spatial periods 12-40 px; drift speeds 0.5-2.5 px/frame
+    period = jax.random.uniform(ks[2], (), minval=12.0, maxval=40.0)
+    speed = jax.random.uniform(ks[3], (), minval=0.5, maxval=2.5)
+    theta = jax.random.uniform(ks[4], (), minval=0.0, maxval=2 * jnp.pi)
+    n_seg = jnp.floor(
+        jax.random.uniform(ks[5], (), minval=6.0, maxval=20.0)
+    )
+    ring_period = jax.random.uniform(ks[6], (), minval=14.0, maxval=34.0)
+    # alternate wedge chirality (and thus rotation sense) per ring, like the
+    # rated stimuli (fill_circle direction flip) — half the samples uniform
+    alternate = (jax.random.uniform(ks[7], ()) < 0.5).astype(jnp.float32)
+    ring_idx = jnp.floor(r / ring_period)
+    ring_sign = jnp.where(alternate > 0, 1.0 - 2.0 * (ring_idx % 2.0), 1.0)
+
+    u_linear = (xc * jnp.cos(theta) + yc * jnp.sin(theta) - speed * t) / period
+    # tangential speed ~= speed px/frame at the mid radius
+    omega = speed / (0.3 * jnp.minimum(h, w))
+    u_tang = ring_sign * (phi[None] - omega * ring_sign * t) * n_seg / (
+        2 * jnp.pi
+    )
+    u_radial = (r[None] - speed * t) / period
+    u_rings = jnp.broadcast_to(r[None] / ring_period, (T, h, w))
+    return u_linear, u_tang, u_radial, u_rings, r
+
+
+def synthetic_cue_batch(
+    key,
+    batch,
+    T,
+    h,
+    w,
+    c,
+    max_speed: float = 2.0,
+    regime_probs=(0.15, 0.15, 0.15, 0.14, 0.14, 0.14, 0.13),
+):
+    """(batch, T, h, w, c) float32 cue sequences (v3).
+
+    Regimes (sampled per-element with ``regime_probs``):
+      0 smooth texture, static
+      1 smooth texture, translating (v2 behaviour)
+      2 plain symmetric rings, STATIC (control-like)
+      3 linear asymmetric sawtooth, translating toward the ramp
+      4 tangential sawtooth rings, rotating toward the ramp
+      5 radial sawtooth rings, expanding toward the ramp
+      6 smooth texture x radial/tangential mask, static (settling pressure
+        on circular smooth content)
+    """
+
+    def one(key):
+        k_reg, k_tex, k_phase, k_col, k_con = jax.random.split(key, 5)
+        regime = jax.random.choice(
+            k_reg, 7, p=jnp.asarray(regime_probs, jnp.float32)
+        )
+
+        # -- smooth-texture branches (reuse v2 machinery) ---------------
+        margin = int(max_speed * T) + 2
+        vel = jax.random.uniform(
+            jax.random.fold_in(k_tex, 1), (2,), minval=-max_speed,
+            maxval=max_speed,
+        )
+        moving = (regime == 1).astype(jnp.float32)
+        vel = vel * moving
+
+        def smooth_chan(kc):
+            tex = _smooth_texture(kc, h + 2 * margin, w + 2 * margin)
+
+            def frame(t):
+                return _sample_shifted(tex, vel[0] * t, vel[1] * t, h, w,
+                                       margin)
+
+            return jax.vmap(frame)(jnp.arange(T, dtype=jnp.float32))
+
+        smooth = jnp.moveaxis(
+            jax.vmap(smooth_chan)(jax.random.split(k_tex, c)), 0, -1
+        )  # (T, h, w, c)
+
+        # -- analytic phase-field branches -------------------------------
+        u_lin, u_tang, u_rad, u_rings, r = _phase_fields(k_phase, T, h, w)
+        rise = jax.random.uniform(
+            jax.random.fold_in(k_phase, 9), (), minval=0.7, maxval=0.9
+        )
+        fields = jnp.stack(
+            [
+                _asym_ramp(u_lin, rise),
+                _asym_ramp(u_tang, rise),
+                _asym_ramp(u_rad, rise),
+                _sym_rings(u_rings),
+            ]
+        )  # (4, T, h, w)
+        # mask the aliased centre of polar patterns + bound the disc like
+        # the stimuli (white surround)
+        rmax = 0.48 * jnp.minimum(h, w)
+        disc = ((r > 8.0) & (r < rmax)).astype(jnp.float32)[None]
+        fields = jnp.stack(
+            [
+                fields[0],
+                fields[1] * disc + (1 - disc),
+                fields[2] * disc + (1 - disc),
+                fields[3] * disc + (1 - disc),
+            ]
+        )
+        value = jnp.where(
+            regime == 3,
+            fields[0],
+            jnp.where(
+                regime == 4,
+                fields[1],
+                jnp.where(regime == 5, fields[2], fields[3]),
+            ),
+        )  # (T, h, w)
+
+        # color mapping: random per-channel affine ramps keep the sawtooth
+        # structure in every channel (and in luminance)
+        lo = jax.random.uniform(k_col, (c,), minval=0.0, maxval=0.35)
+        hi = jax.random.uniform(
+            jax.random.fold_in(k_col, 1), (c,), minval=0.65, maxval=1.0
+        )
+        patterned = lo + (hi - lo) * value[..., None]  # (T, h, w, c)
+
+        # regime 6: smooth texture masked to the disc, static
+        static_disc = smooth[:1] * disc[..., None] + (1 - disc[..., None])
+        static_disc = jnp.broadcast_to(static_disc, smooth.shape)
+
+        use_smooth = (regime <= 1).astype(jnp.float32)
+        use_disc = (regime == 6).astype(jnp.float32)
+        out = (
+            use_smooth * smooth
+            + use_disc * static_disc
+            + (1 - use_smooth - use_disc) * patterned
+        )
+        # global contrast jitter
+        gain = jax.random.uniform(k_con, (), minval=0.7, maxval=1.0)
+        off = jax.random.uniform(
+            jax.random.fold_in(k_con, 1), (), minval=0.0, maxval=0.3
+        )
+        return jnp.clip(out * gain + off * (1 - gain), 0.0, 1.0)
 
     return jax.vmap(one)(jax.random.split(key, batch))

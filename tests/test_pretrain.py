@@ -6,6 +6,7 @@ import jax
 
 from evolutionary_illusion_generator_tpu.models.prednet.pretrain import pretrain
 from evolutionary_illusion_generator_tpu.models.prednet.synthetic_data import (
+    synthetic_cue_batch,
     synthetic_motion_batch,
 )
 
@@ -33,6 +34,56 @@ class TestSyntheticData:
         a = synthetic_motion_batch(jax.random.PRNGKey(2), 1, 3, 16, 16, 1)
         b = synthetic_motion_batch(jax.random.PRNGKey(2), 1, 3, 16, 16, 1)
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestCueData:
+    def test_shapes_and_range(self):
+        frames = synthetic_cue_batch(jax.random.PRNGKey(0), 4, 5, 48, 64, 3)
+        assert frames.shape == (4, 5, 48, 64, 3)
+        f = np.asarray(frames)
+        assert f.min() >= 0.0 and f.max() <= 1.0
+        assert np.isfinite(f).all()
+
+    def test_static_regimes_are_static(self):
+        # regimes 0 (smooth static), 2 (plain rings), 6 (disc texture) must
+        # not move — the settling pressure for control-like input
+        for reg in (0, 2, 6):
+            p = [0.0] * 7
+            p[reg] = 1.0
+            f = np.asarray(
+                synthetic_cue_batch(
+                    jax.random.PRNGKey(reg), 2, 4, 48, 64, 1,
+                    regime_probs=tuple(p),
+                )
+            )
+            assert np.abs(np.diff(f, axis=1)).max() < 1e-6, reg
+
+    def test_cue_regimes_move_with_ramp_structure(self):
+        # regimes 3/4/5: the asymmetric sawtooths must move every frame
+        for reg in (3, 4, 5):
+            p = [0.0] * 7
+            p[reg] = 1.0
+            f = np.asarray(
+                synthetic_cue_batch(
+                    jax.random.PRNGKey(reg), 2, 5, 64, 80, 1,
+                    regime_probs=tuple(p),
+                )
+            )
+            d = np.abs(np.diff(f, axis=1)).mean(axis=(2, 3, 4))
+            assert (d > 1e-3).all(), (reg, d)
+
+    def test_deterministic(self):
+        a = synthetic_cue_batch(jax.random.PRNGKey(2), 2, 3, 32, 32, 1)
+        b = synthetic_cue_batch(jax.random.PRNGKey(2), 2, 3, 32, 32, 1)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_pretrain_v3_smoke():
+    params, loss = pretrain(
+        (1, 4), steps=4, batch=2, T=4, h=24, w=32, lr=5e-3, verbose=False,
+        data="v3",
+    )
+    assert np.isfinite(loss)
 
 
 def test_pretrain_reduces_loss():
