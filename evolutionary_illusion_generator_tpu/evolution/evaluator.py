@@ -29,9 +29,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models.cppn import (
-    evaluate_population_levels,
+    ACTIVATIONS,
     genome_depth,
+    make_population_eval,
     pack_population_levels,
+    population_act_set,
     required_nodes,
 )
 from ..models.prednet.model import PredNetParams, rollout_flow_frames
@@ -100,6 +102,12 @@ class EvalConfig:
     # levels*width nodes, depth cap is ``cppn_levels``.
     cppn_levels: int = 8
     cppn_width: int = 16
+    # CPPN activation pruning: "population" compiles only the activation
+    # functions present in the current population (grow-only set — at most
+    # one recompile per newly-appearing activation, clustered in the first
+    # generations since activation_mutate_rate quickly surfaces them all);
+    # "all" always compiles the full 7-function stack (no recompiles ever).
+    cppn_act_mode: str = "population"
 
 
 class GenerationOutputs:
@@ -180,6 +188,12 @@ class GenerationEvaluator:
         ):
             self._width *= 2
         self._pop_min = 8  # sharded subclass raises this to the mesh size
+        # grow-only activation set (global ids); None = full stack
+        self._act_set: tuple = (
+            tuple(range(len(ACTIVATIONS)))
+            if cfg.cppn_act_mode == "all"
+            else ()
+        )
         self._jitted = {}
         self.last_timings: Dict[str, float] = {}
         self.last_results: Dict[str, np.ndarray] = {}
@@ -190,12 +204,13 @@ class GenerationEvaluator:
         """The raw (unjitted) generation device program for one chunk (or
         the whole population when unchunked)."""
         cfg = self.cfg
+        cppn_eval = make_population_eval(self._act_set or None)
 
         def eval_chunk(chunk, params):
             """Full per-candidate pipeline for a population chunk —
             bounding peak HBM (CPPN value buffers + PredNet states scale
             with the chunk, not the population)."""
-            outs = evaluate_population_levels(
+            outs = cppn_eval(
                 chunk["weights"],
                 chunk["bias"],
                 chunk["response"],
@@ -242,7 +257,7 @@ class GenerationEvaluator:
         return eval_chunk
 
     def _device_fn(self, pop_bucket: int, node_bucket: int):
-        key = (pop_bucket, node_bucket)
+        key = (pop_bucket, node_bucket, self._act_set)
         if key not in self._jitted:
             self._jitted[key] = jax.jit(self._build_run())
         return self._jitted[key]
@@ -268,13 +283,22 @@ class GenerationEvaluator:
             self._width *= 2
         while self._levels < need_depth:
             self._levels *= 2
+        # grow-only activation set (static in the device program)
+        if len(self._act_set) < len(ACTIVATIONS):
+            needed = population_act_set(genomes, self.neat_cfg)
+            if not needed <= set(self._act_set):
+                self._act_set = tuple(sorted(set(self._act_set) | needed))
 
         mb = self.cfg.microbatch
         chunk = min(mb, _bucket(n, self._pop_min)) if mb else _bucket(
             n, self._pop_min
         )
         packed = pack_population_levels(
-            genomes, self.neat_cfg, self._levels, self._width
+            genomes,
+            self.neat_cfg,
+            self._levels,
+            self._width,
+            act_set=self._act_set or None,
         )
         # the packer may have grown the bucket further (greedy placement can
         # exceed the plain depth bound); sync so the jit cache key matches

@@ -32,16 +32,19 @@ from ..neat.genome import Genome
 
 __all__ = [
     "ACTIVATIONS",
+    "ACT_ID",
     "CompiledCppn",
     "compile_genome",
     "pack_population",
     "evaluate_cppn",
     "evaluate_population",
     "required_nodes",
+    "population_act_set",
     "compile_genome_levels",
     "pack_population_levels",
     "evaluate_cppn_levels",
     "evaluate_population_levels",
+    "make_population_eval",
     "genome_depth",
 ]
 
@@ -90,6 +93,7 @@ ACTIVATIONS = (
 )
 _ACT_ID = {name: i for i, (name, _) in enumerate(ACTIVATIONS)}
 _ACT_FNS = tuple(fn for _, fn in ACTIVATIONS)
+ACT_ID = _ACT_ID  # public alias (evaluators map activation names to ids)
 
 
 # ---------------------------------------------------------------------------
@@ -392,16 +396,34 @@ def genome_depth(genome: Genome, cfg: NeatConfig) -> int:
     return max(depth.values(), default=1)
 
 
+def population_act_set(genomes: Sequence[Genome], cfg: NeatConfig) -> set:
+    """Activation ids used by any *required* node of any genome."""
+    used = set()
+    for g in genomes:
+        for n in required_nodes(g, cfg):
+            used.add(_ACT_ID[g.nodes[n].activation])
+    return used
+
+
 def pack_population_levels(
     genomes: Sequence[Genome],
     cfg: NeatConfig,
     levels: int = 8,
     width: int = 16,
+    act_set: Sequence[int] | None = None,
 ) -> Dict[str, np.ndarray]:
     """Compile a population into stacked level tables (leading pop axis).
 
     ``levels``/``width`` grow (x2) automatically when a genome's depth or
     node count overflows the requested bucket.
+
+    ``act_set`` (sorted global activation ids) remaps ``act_id`` entries to
+    positions WITHIN the set, for evaluation with
+    ``make_population_eval(act_set)`` — which then computes only those
+    activation functions instead of all ``len(ACTIVATIONS)`` per level
+    (VERDICT round-1 item 5).  It must cover ``population_act_set``; padding
+    slots remap arbitrarily to position 0 (their values are never read:
+    no weight row or out_slot references them).
     """
     while True:
         try:
@@ -415,14 +437,31 @@ def pack_population_levels(
                 width *= 2
             else:
                 levels *= 2
-    return {k: np.stack([p[k] for p in progs]) for k in progs[0]}
+    packed = {k: np.stack([p[k] for p in progs]) for k in progs[0]}
+    if act_set is not None:
+        used = population_act_set(genomes, cfg)
+        if not used <= set(act_set):
+            raise ValueError(
+                f"act_set {tuple(act_set)} does not cover the population's "
+                f"activations {sorted(used)}"
+            )
+        lut = np.zeros(len(ACTIVATIONS), dtype=np.int32)
+        for local, gid in enumerate(act_set):
+            lut[gid] = local
+        packed["act_id"] = lut[packed["act_id"]]
+    return packed
 
 
-def evaluate_cppn_levels(weights, bias, response, act_id, out_slot, inputs):
+def evaluate_cppn_levels(
+    weights, bias, response, act_id, out_slot, inputs, act_set=None
+):
     """Evaluate one level-compiled CPPN on a pixel batch.
 
     weights: (L, width, S); bias/response/act_id: (L, width); inputs (ni, P).
-    Returns (O, P).
+    ``act_set`` (static tuple of global activation ids, or None for all):
+    only these activation functions are computed per level; ``act_id``
+    entries must then be positions within the set (pack_population_levels
+    remaps them).  Returns (O, P).
     """
     L, width, S = weights.shape
     ni = S - L * width
@@ -436,7 +475,7 @@ def evaluate_cppn_levels(weights, bias, response, act_id, out_slot, inputs):
         k, w_k, b_k, r_k, a_k = x
         pre = jnp.dot(w_k, vals, preferred_element_type=jnp.float32)
         z = r_k[:, None] * pre + b_k[:, None]
-        v = _apply_act_rows(a_k, z)
+        v = _apply_act_rows(a_k, z, act_set)
         vals = jax.lax.dynamic_update_slice(vals, v, (ni + k * width, 0))
         return vals, None
 
@@ -444,14 +483,38 @@ def evaluate_cppn_levels(weights, bias, response, act_id, out_slot, inputs):
     return vals[out_slot]
 
 
-def _apply_act_rows(act_id, z):
-    """Per-row activation select; act_id (width,), z (width, P)."""
-    stacked = jnp.stack([fn(z) for fn in _ACT_FNS])  # (A, width, P)
-    return jnp.take_along_axis(
-        stacked, act_id[None, :, None], axis=0
-    )[0]
+def _apply_act_rows(act_id, z, act_set=None):
+    """Per-row activation: act_id (width,), z (width, P).
+
+    Masked sum over the (pruned) activation set — every fn in the set is
+    clipped/total, so the unselected branches contribute exact zeros."""
+    fns = _ACT_FNS if act_set is None else tuple(_ACT_FNS[i] for i in act_set)
+    if len(fns) == 1:
+        return fns[0](z)
+    out = jnp.zeros_like(z)
+    for local, fn in enumerate(fns):
+        out = out + jnp.where(act_id[:, None] == local, fn(z), 0.0)
+    return out
 
 
 evaluate_population_levels = jax.vmap(
     evaluate_cppn_levels, in_axes=(0, 0, 0, 0, 0, None)
 )
+
+
+def make_population_eval(act_set=None):
+    """Population evaluator computing only ``act_set``'s activations.
+
+    ``act_set`` is static (baked into the jaxpr): callers key their jit
+    caches on it and keep it GROW-ONLY across a run so recompiles are rare
+    (CLAUDE.md growable-bucket invariant)."""
+    if act_set is None:
+        return evaluate_population_levels
+    act_set = tuple(act_set)
+
+    def eval_one(weights, bias, response, act_id, out_slot, inputs):
+        return evaluate_cppn_levels(
+            weights, bias, response, act_id, out_slot, inputs, act_set
+        )
+
+    return jax.vmap(eval_one, in_axes=(0, 0, 0, 0, 0, None))

@@ -39,7 +39,7 @@ class ShardedGenerationEvaluator(GenerationEvaluator):
         self.params = jax.device_put(params, self._rep)
 
     def _device_fn(self, pop_bucket: int, node_bucket: int):
-        key = ("sharded", pop_bucket, node_bucket)
+        key = ("sharded", pop_bucket, node_bucket, self._act_set)
         if key in self._jitted:
             return self._jitted[key]
         assert pop_bucket % self.mesh.devices.size == 0, (

@@ -188,6 +188,95 @@ class TestLevelBlocked:
             want = eval_genome_oracle(g, cfg, inputs)
             np.testing.assert_allclose(out_lv[i], want, rtol=2e-3, atol=1e-4)
 
+    def test_pruned_act_set_is_bit_identical(self, rng):
+        """Evaluation with the population's pruned activation set must equal
+        the full-stack evaluation exactly (unchanged rankings guarantee,
+        VERDICT round-1 item 5)."""
+        from evolutionary_illusion_generator_tpu.models.cppn import (
+            evaluate_population_levels,
+            make_population_eval,
+            pack_population_levels,
+            population_act_set,
+        )
+
+        cfg = preset("circles")
+        P = 48
+        inputs = jnp.asarray(
+            np.random.default_rng(3).uniform(-10, 10, (2, P)), jnp.float32
+        )
+        genomes = []
+        for t in range(4):
+            g = Genome.new(t, cfg, rng)
+            for _ in range(20):
+                g.mutate(cfg, rng)
+            genomes.append(g)
+
+        act_set = tuple(sorted(population_act_set(genomes, cfg)))
+        assert 0 < len(act_set) <= 7
+
+        full = {k: jnp.asarray(v) for k, v in
+                pack_population_levels(genomes, cfg).items()}
+        want = np.asarray(
+            evaluate_population_levels(
+                full["weights"], full["bias"], full["response"],
+                full["act_id"], full["out_slot"], inputs,
+            )
+        )
+        pruned = {k: jnp.asarray(v) for k, v in
+                  pack_population_levels(genomes, cfg, act_set=act_set).items()}
+        got = np.asarray(
+            make_population_eval(act_set)(
+                pruned["weights"], pruned["bias"], pruned["response"],
+                pruned["act_id"], pruned["out_slot"], inputs,
+            )
+        )
+        np.testing.assert_array_equal(got, want)
+
+    def test_act_set_must_cover_population(self, rng):
+        from evolutionary_illusion_generator_tpu.models.cppn import (
+            pack_population_levels,
+            population_act_set,
+        )
+
+        cfg = preset("circles")
+        g = Genome.new(0, cfg, rng)
+        used = sorted(population_act_set([g], cfg))
+        missing = [i for i in range(7) if i not in used][:1]
+        with pytest.raises(ValueError, match="does not cover"):
+            pack_population_levels([g], cfg, act_set=tuple(missing))
+
+    def test_evaluator_act_set_grows_only(self, rng):
+        from evolutionary_illusion_generator_tpu.evolution.evaluator import (
+            EvalConfig,
+            GenerationEvaluator,
+        )
+        from evolutionary_illusion_generator_tpu.models.prednet import (
+            init_params,
+        )
+        from evolutionary_illusion_generator_tpu.ops.flow import FlowConfig
+        import jax
+
+        cfg = preset("circles_bw")
+        ev = GenerationEvaluator(
+            EvalConfig(
+                w=32, h=24, c_dim=1, repeat=2,
+                flow=FlowConfig(max_corners=8, win=9, levels=1, iters=2),
+            ),
+            init_params(jax.random.PRNGKey(0), (1, 4)),
+            cfg,
+        )
+        g1 = Genome.new(0, cfg, rng)
+        ev.evaluate_images([g1])
+        first = ev._act_set
+        assert first  # population mode: non-empty after first call
+        for _ in range(40):
+            g1.mutate(cfg, rng)
+        g2 = Genome.new(1, cfg, rng)
+        for _ in range(40):
+            g2.mutate(cfg, rng)
+        ev.evaluate_images([g1, g2])
+        assert set(first) <= set(ev._act_set)
+
     def test_bucket_growth_on_deep_genome(self, rng):
         from evolutionary_illusion_generator_tpu.models.cppn import (
             genome_depth,
