@@ -44,6 +44,8 @@ def pretrain(
     static_fraction: float = 0.5,
     data: str = "v3",
     regime_probs=None,
+    cue_speed_range=(0.5, 2.5),
+    max_onset: int = 0,
 ):
     """Train a PredNet on synthetic motion; returns (params, final_loss).
 
@@ -59,7 +61,8 @@ def pretrain(
     opt_state = init_opt_state(tx, params)
     step_fn = make_train_step(tx, mesh=mesh)
     if data == "v3":
-        kwargs = {}
+        kwargs = {"cue_speed_range": tuple(cue_speed_range),
+                  "max_onset": max_onset}
         if regime_probs is not None:
             kwargs["regime_probs"] = tuple(regime_probs)
         data_fn = jax.jit(
@@ -103,6 +106,11 @@ def main(argv: Optional[list] = None) -> int:
     p.add_argument("--lr", type=float, default=2e-3)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--data", default="v3", choices=("v2", "v3"))
+    p.add_argument("--cue_speed", default="0.5,2.5",
+                   help="min,max cue drift speed in px/frame (v3 data)")
+    p.add_argument("--max_onset", type=int, default=0,
+                   help="cue patterns hold static up to this many frames "
+                        "before motion starts (v3 data)")
     p.add_argument("--out", default="")
     args = p.parse_args(argv)
 
@@ -117,6 +125,8 @@ def main(argv: Optional[list] = None) -> int:
         lr=args.lr,
         seed=args.seed,
         data=args.data,
+        cue_speed_range=tuple(float(x) for x in args.cue_speed.split(",")),
+        max_onset=args.max_onset,
     )
     out = args.out or f"prednet_{'_'.join(map(str, channels))}.npz"
     save_params(params, out)

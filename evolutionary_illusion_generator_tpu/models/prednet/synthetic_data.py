@@ -127,15 +127,24 @@ def _sym_rings(ph):
     return (ph < 0.5).astype(jnp.float32)
 
 
-def _phase_fields(key, T, h, w):
+def _phase_fields(key, T, h, w, speed_range=(0.5, 2.5), max_onset=0):
     """Per-regime phase fields u(t, y, x); value = ramp(u).
 
     Motion is ALWAYS toward the ramp direction for the asymmetric regimes
     (the phase decreases over time, so the pattern drifts toward +u).
-    Returns (T, h, w) phase stacks for: linear, tangential, radial,
-    plain-ring regimes plus the speeds used.
+    ``speed_range`` bounds the drift in px/frame.
+
+    ``max_onset > 0`` delays motion: the pattern holds STATIC for a random
+    prefix of up to ``max_onset`` frames, then starts drifting.  This is the
+    cue mechanism that makes the probe work: the fitness oracle presents a
+    static image repeatedly, i.e. a history that says "static" on a pattern
+    whose training continuation is "starts moving" — a predictor trained on
+    onset sequences hedges toward coherent motion exactly there, while
+    patterns that are NEVER moved (plain rings = control) settle.  Without
+    onsets the model learns pure history extrapolation and settles on every
+    static input regardless of appearance (measured: drift_diag round 2).
     """
-    ks = jax.random.split(key, 8)
+    ks = jax.random.split(key, 9)
     yy, xx = jnp.meshgrid(
         jnp.arange(h, dtype=jnp.float32), jnp.arange(w, dtype=jnp.float32),
         indexing="ij",
@@ -147,10 +156,17 @@ def _phase_fields(key, T, h, w):
     r = jnp.sqrt(xc**2 + yc**2) + 1e-6
     phi = jnp.arctan2(yc, xc)
     t = jnp.arange(T, dtype=jnp.float32)[:, None, None]
+    if max_onset:
+        onset = jnp.floor(
+            jax.random.uniform(ks[8], (), maxval=float(max_onset) + 1.0)
+        )
+        t = jnp.maximum(t - onset, 0.0)
 
-    # spatial periods 12-40 px; drift speeds 0.5-2.5 px/frame
+    # spatial periods 12-40 px
     period = jax.random.uniform(ks[2], (), minval=12.0, maxval=40.0)
-    speed = jax.random.uniform(ks[3], (), minval=0.5, maxval=2.5)
+    speed = jax.random.uniform(
+        ks[3], (), minval=speed_range[0], maxval=speed_range[1]
+    )
     theta = jax.random.uniform(ks[4], (), minval=0.0, maxval=2 * jnp.pi)
     n_seg = jnp.floor(
         jax.random.uniform(ks[5], (), minval=6.0, maxval=20.0)
@@ -182,6 +198,8 @@ def synthetic_cue_batch(
     c,
     max_speed: float = 2.0,
     regime_probs=(0.15, 0.15, 0.15, 0.14, 0.14, 0.14, 0.13),
+    cue_speed_range=(0.5, 2.5),
+    max_onset: int = 0,
 ):
     """(batch, T, h, w, c) float32 cue sequences (v3).
 
@@ -225,7 +243,9 @@ def synthetic_cue_batch(
         )  # (T, h, w, c)
 
         # -- analytic phase-field branches -------------------------------
-        u_lin, u_tang, u_rad, u_rings, r = _phase_fields(k_phase, T, h, w)
+        u_lin, u_tang, u_rad, u_rings, r = _phase_fields(
+            k_phase, T, h, w, cue_speed_range, max_onset
+        )
         rise = jax.random.uniform(
             jax.random.fold_in(k_phase, 9), (), minval=0.7, maxval=0.9
         )
