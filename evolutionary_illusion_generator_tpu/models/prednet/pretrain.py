@@ -46,6 +46,7 @@ def pretrain(
     regime_probs=None,
     cue_speed_range=(0.5, 2.5),
     max_onset: int = 0,
+    move_prob: float = 1.0,
 ):
     """Train a PredNet on synthetic motion; returns (params, final_loss).
 
@@ -62,7 +63,7 @@ def pretrain(
     step_fn = make_train_step(tx, mesh=mesh)
     if data == "v3":
         kwargs = {"cue_speed_range": tuple(cue_speed_range),
-                  "max_onset": max_onset}
+                  "max_onset": max_onset, "move_prob": move_prob}
         if regime_probs is not None:
             kwargs["regime_probs"] = tuple(regime_probs)
         data_fn = jax.jit(
@@ -111,6 +112,10 @@ def main(argv: Optional[list] = None) -> int:
     p.add_argument("--max_onset", type=int, default=0,
                    help="cue patterns hold static up to this many frames "
                         "before motion starts (v3 data)")
+    p.add_argument("--move_prob", type=float, default=1.0,
+                   help="fraction of sawtooth sequences that move; the "
+                        "rest stay static — dials the predicted illusory "
+                        "drift to p*speed (v3 data)")
     p.add_argument("--out", default="")
     args = p.parse_args(argv)
 
@@ -127,6 +132,7 @@ def main(argv: Optional[list] = None) -> int:
         data=args.data,
         cue_speed_range=tuple(float(x) for x in args.cue_speed.split(",")),
         max_onset=args.max_onset,
+        move_prob=args.move_prob,
     )
     out = args.out or f"prednet_{'_'.join(map(str, channels))}.npz"
     save_params(params, out)

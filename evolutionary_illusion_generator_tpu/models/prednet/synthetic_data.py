@@ -127,12 +127,23 @@ def _sym_rings(ph):
     return (ph < 0.5).astype(jnp.float32)
 
 
-def _phase_fields(key, T, h, w, speed_range=(0.5, 2.5), max_onset=0):
+def _phase_fields(key, T, h, w, speed_range=(0.5, 2.5), max_onset=0,
+                  move_prob=1.0):
     """Per-regime phase fields u(t, y, x); value = ramp(u).
 
-    Motion is ALWAYS toward the ramp direction for the asymmetric regimes
-    (the phase decreases over time, so the pattern drifts toward +u).
+    Motion is toward the ramp direction for the asymmetric regimes (the
+    phase decreases over time, so the pattern drifts toward +u).
     ``speed_range`` bounds the drift in px/frame.
+
+    ``move_prob < 1`` makes only that fraction of sawtooth sequences move;
+    the rest stay static forever.  Because the E-objective is an L2-style
+    frame loss, the optimal static-history prediction is the conditional
+    mean ``p(move) * speed`` — a direct, direction-preserving dial for the
+    illusory drift magnitude.  Needed because sub-pixel cue speeds fail to
+    imprint the appearance->motion association at all (measured round 2:
+    speeds 0.2-0.8 give zero drift transfer to the rated stimuli while
+    0.5-2.5 transfers at ~0.5 px, overshooting the 0.3 px plausibility
+    gate of ops/fitness/calculate.py).
 
     ``max_onset > 0`` delays motion: the pattern holds STATIC for a random
     prefix of up to ``max_onset`` frames, then starts drifting.  This is the
@@ -167,6 +178,11 @@ def _phase_fields(key, T, h, w, speed_range=(0.5, 2.5), max_onset=0):
     speed = jax.random.uniform(
         ks[3], (), minval=speed_range[0], maxval=speed_range[1]
     )
+    if move_prob < 1.0:
+        mover = (
+            jax.random.uniform(jax.random.fold_in(ks[3], 1), ()) < move_prob
+        )
+        speed = speed * mover.astype(jnp.float32)
     theta = jax.random.uniform(ks[4], (), minval=0.0, maxval=2 * jnp.pi)
     n_seg = jnp.floor(
         jax.random.uniform(ks[5], (), minval=6.0, maxval=20.0)
@@ -200,6 +216,7 @@ def synthetic_cue_batch(
     regime_probs=(0.15, 0.15, 0.15, 0.14, 0.14, 0.14, 0.13),
     cue_speed_range=(0.5, 2.5),
     max_onset: int = 0,
+    move_prob: float = 1.0,
 ):
     """(batch, T, h, w, c) float32 cue sequences (v3).
 
@@ -244,7 +261,7 @@ def synthetic_cue_batch(
 
         # -- analytic phase-field branches -------------------------------
         u_lin, u_tang, u_rad, u_rings, r = _phase_fields(
-            k_phase, T, h, w, cue_speed_range, max_onset
+            k_phase, T, h, w, cue_speed_range, max_onset, move_prob
         )
         rise = jax.random.uniform(
             jax.random.fold_in(k_phase, 9), (), minval=0.7, maxval=0.9
