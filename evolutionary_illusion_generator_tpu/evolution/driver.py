@@ -25,6 +25,7 @@ from ..neat import (
 )
 from ..ops.flow.api import FlowConfig
 from ..structure import StructureType
+from ..utils.compilation_cache import enable_compilation_cache
 from .artifacts import save_best_artifacts
 from .evaluator import EvalConfig, GenerationEvaluator
 
@@ -92,6 +93,9 @@ def neat_illusion(
     """
     structure = StructureType(structure)
     os.makedirs(output_dir, exist_ok=True)
+    # persistent XLA cache: remote TPU compiles of the chunk program cost
+    # minutes; warm starts load in seconds (CLAUDE.md environment rules)
+    enable_compilation_cache()
     neat_cfg = resolve_neat_config(config, structure, c_dim, gradient)
 
     params = load_or_init(model_name, list(channels), seed=seed)

@@ -30,6 +30,7 @@ from ..ops.fitness.metrics_np import swarm_score
 from ..ops.flow.api import FlowConfig, flow_vectors
 from ..ops.flow.pyramid import to_gray
 from ..structure import StructureType
+from ..utils.compilation_cache import enable_compilation_cache
 from ..utils.image_io import load_image
 
 __all__ = ["get_vectors", "score_image", "pad_to_size", "main"]
@@ -68,6 +69,7 @@ def get_vectors(
     Returns an (N, 4) numpy array of [x, y, dx, dy] rows (empty when
     nothing was trackable — the reference returns ``[None]`` then).
     """
+    enable_compilation_cache()
     c_dim = channels[0]
     params = load_or_init(model_name, list(channels), seed=seed)
     img = load_image(image_path, size=(w, h), c_dim=c_dim)

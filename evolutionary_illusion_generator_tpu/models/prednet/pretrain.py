@@ -47,6 +47,9 @@ def pretrain(
     cue_speed_range=(0.5, 2.5),
     max_onset: int = 0,
     move_prob: float = 1.0,
+    cue_slow_range=None,
+    cue_slow_frac: float = 0.0,
+    onset_hazard: float = 0.0,
 ):
     """Train a PredNet on synthetic motion; returns (params, final_loss).
 
@@ -64,6 +67,11 @@ def pretrain(
     if data == "v3":
         kwargs = {"cue_speed_range": tuple(cue_speed_range),
                   "max_onset": max_onset, "move_prob": move_prob}
+        if cue_slow_range is not None:
+            kwargs["cue_slow_range"] = tuple(cue_slow_range)
+            kwargs["cue_slow_frac"] = cue_slow_frac
+        if onset_hazard > 0.0:
+            kwargs["onset_hazard"] = onset_hazard
         if regime_probs is not None:
             kwargs["regime_probs"] = tuple(regime_probs)
         data_fn = jax.jit(
@@ -116,6 +124,18 @@ def main(argv: Optional[list] = None) -> int:
                    help="fraction of sawtooth sequences that move; the "
                         "rest stay static — dials the predicted illusory "
                         "drift to p*speed (v3 data)")
+    p.add_argument("--cue_slow", default="",
+                   help="min,max of the slow cue-speed mode; with "
+                        "--slow_frac makes the speed distribution bimodal "
+                        "(v3 data)")
+    p.add_argument("--slow_frac", type=float, default=0.0,
+                   help="fraction of sawtooth sequences drawn from the "
+                        "slow speed mode")
+    p.add_argument("--onset_hazard", type=float, default=0.0,
+                   help="per-frame geometric probability that a static "
+                        "sawtooth starts moving; memoryless, so the "
+                        "static-history drift prediction is p*E[speed] "
+                        "at any history length (v3 data)")
     p.add_argument("--out", default="")
     args = p.parse_args(argv)
 
@@ -133,6 +153,10 @@ def main(argv: Optional[list] = None) -> int:
         cue_speed_range=tuple(float(x) for x in args.cue_speed.split(",")),
         max_onset=args.max_onset,
         move_prob=args.move_prob,
+        cue_slow_range=(tuple(float(x) for x in args.cue_slow.split(","))
+                        if args.cue_slow else None),
+        cue_slow_frac=args.slow_frac,
+        onset_hazard=args.onset_hazard,
     )
     out = args.out or f"prednet_{'_'.join(map(str, channels))}.npz"
     save_params(params, out)

@@ -128,7 +128,8 @@ def _sym_rings(ph):
 
 
 def _phase_fields(key, T, h, w, speed_range=(0.5, 2.5), max_onset=0,
-                  move_prob=1.0):
+                  move_prob=1.0, slow_range=None, slow_frac=0.0,
+                  onset_hazard=0.0):
     """Per-regime phase fields u(t, y, x); value = ramp(u).
 
     Motion is toward the ramp direction for the asymmetric regimes (the
@@ -136,14 +137,20 @@ def _phase_fields(key, T, h, w, speed_range=(0.5, 2.5), max_onset=0,
     ``speed_range`` bounds the drift in px/frame.
 
     ``move_prob < 1`` makes only that fraction of sawtooth sequences move;
-    the rest stay static forever.  Because the E-objective is an L2-style
-    frame loss, the optimal static-history prediction is the conditional
-    mean ``p(move) * speed`` — a direct, direction-preserving dial for the
-    illusory drift magnitude.  Needed because sub-pixel cue speeds fail to
-    imprint the appearance->motion association at all (measured round 2:
-    speeds 0.2-0.8 give zero drift transfer to the rated stimuli while
-    0.5-2.5 transfers at ~0.5 px, overshooting the 0.3 px plausibility
-    gate of ops/fitness/calculate.py).
+    the rest stay static forever.  Measured round 2: this KILLS the
+    static-history drift — a static prefix longer than ``max_onset``
+    identifies the sequence as a never-mover, and the probe's 20 static
+    presentations are far past any onset, so the model settles.
+
+    ``slow_range``/``slow_frac`` instead make the SPEED distribution
+    bimodal while every sawtooth still moves: a ``1 - slow_frac`` fast
+    fraction (``speed_range``) imprints the appearance->motion
+    association, and the slow bulk (``slow_range``) drags the
+    conditional-mean drift prediction down.  This is the magnitude dial
+    that works: sub-pixel uniform speeds (0.2-0.8) fail to imprint the
+    association at all, while uniform 0.5-2.5 transfers ~0.5 px drift to
+    the rated stimuli — over the 0.3 px plausibility gate of
+    ops/fitness/calculate.py.
 
     ``max_onset > 0`` delays motion: the pattern holds STATIC for a random
     prefix of up to ``max_onset`` frames, then starts drifting.  This is the
@@ -154,6 +161,22 @@ def _phase_fields(key, T, h, w, speed_range=(0.5, 2.5), max_onset=0,
     patterns that are NEVER moved (plain rings = control) settle.  Without
     onsets the model learns pure history extrapolation and settles on every
     static input regardless of appearance (measured: drift_diag round 2).
+
+    ``onset_hazard > 0`` replaces the bounded-uniform onset with a
+    GEOMETRIC one: each frame, a still-static sawtooth starts moving with
+    constant probability ``p``.  Memorylessness is the point — with a
+    bounded onset, a static history longer than ``max_onset`` identifies
+    the sequence as a never-mover and a converged model settles on the
+    probe's 20 static presentations (measured: every bounded-onset recipe
+    at 2500 steps transfers ZERO drift, while the same recipe at 1200
+    steps transfers via unconverged inductive bias only).  Under constant
+    hazard the L2-optimal prediction for static sawtooth history of ANY
+    length is drift ``p * E[speed]`` — a training-length-robust dial that
+    puts the probe drift at ``~2 * p * E[speed]`` px (two closed-loop
+    extension frames), to be placed inside the 0.3 px plausibility gate.
+    Sequences whose onset falls past the window stay fully static (that is
+    what keeps the hazard honest), so the association is imprinted by the
+    ``1-(1-p)^T`` fraction that does move.
     """
     ks = jax.random.split(key, 9)
     yy, xx = jnp.meshgrid(
@@ -167,7 +190,13 @@ def _phase_fields(key, T, h, w, speed_range=(0.5, 2.5), max_onset=0,
     r = jnp.sqrt(xc**2 + yc**2) + 1e-6
     phi = jnp.arctan2(yc, xc)
     t = jnp.arange(T, dtype=jnp.float32)[:, None, None]
-    if max_onset:
+    if onset_hazard > 0.0:
+        # geometric onset: floor(log(1-U)/log(1-p)), support {0, 1, ...};
+        # onsets >= T leave the whole window static
+        u = jax.random.uniform(ks[8], (), minval=1e-7, maxval=1.0 - 1e-7)
+        onset = jnp.floor(jnp.log1p(-u) / jnp.log1p(-onset_hazard))
+        t = jnp.maximum(t - onset, 0.0)
+    elif max_onset:
         onset = jnp.floor(
             jax.random.uniform(ks[8], (), maxval=float(max_onset) + 1.0)
         )
@@ -178,6 +207,15 @@ def _phase_fields(key, T, h, w, speed_range=(0.5, 2.5), max_onset=0,
     speed = jax.random.uniform(
         ks[3], (), minval=speed_range[0], maxval=speed_range[1]
     )
+    if slow_range is not None:
+        slow = jax.random.uniform(
+            jax.random.fold_in(ks[3], 2), (),
+            minval=slow_range[0], maxval=slow_range[1],
+        )
+        is_slow = (
+            jax.random.uniform(jax.random.fold_in(ks[3], 3), ()) < slow_frac
+        )
+        speed = jnp.where(is_slow, slow, speed)
     if move_prob < 1.0:
         mover = (
             jax.random.uniform(jax.random.fold_in(ks[3], 1), ()) < move_prob
@@ -217,6 +255,9 @@ def synthetic_cue_batch(
     cue_speed_range=(0.5, 2.5),
     max_onset: int = 0,
     move_prob: float = 1.0,
+    cue_slow_range=None,
+    cue_slow_frac: float = 0.0,
+    onset_hazard: float = 0.0,
 ):
     """(batch, T, h, w, c) float32 cue sequences (v3).
 
@@ -261,7 +302,8 @@ def synthetic_cue_batch(
 
         # -- analytic phase-field branches -------------------------------
         u_lin, u_tang, u_rad, u_rings, r = _phase_fields(
-            k_phase, T, h, w, cue_speed_range, max_onset, move_prob
+            k_phase, T, h, w, cue_speed_range, max_onset, move_prob,
+            cue_slow_range, cue_slow_frac, onset_hazard,
         )
         rise = jax.random.uniform(
             jax.random.fold_in(k_phase, 9), (), minval=0.7, maxval=0.9
