@@ -119,9 +119,13 @@ def main(argv: Optional[List[str]] = None) -> int:
     parser.add_argument("--input_image", "-i", default="")
     parser.add_argument("--structure", "-s", type=int, default=None,
                         help="also print the structure fitness score")
+    parser.add_argument("--channels", "-ch", default="3,48,96,192",
+                        help="predictor channel stack (extension; the "
+                        "reference's test.py is fixed to the color stack)")
     args = parser.parse_args(argv)
 
-    vectors = get_vectors(args.input_image, args.model or None)
+    channels = tuple(int(x) for x in args.channels.split(","))
+    vectors = get_vectors(args.input_image, args.model or None, channels)
     if vectors.size == 0:
         print("score", 0.0)
         return 0

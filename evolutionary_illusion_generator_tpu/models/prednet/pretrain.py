@@ -50,6 +50,7 @@ def pretrain(
     cue_slow_range=None,
     cue_slow_frac: float = 0.0,
     onset_hazard: float = 0.0,
+    ring_speed_range=None,
 ):
     """Train a PredNet on synthetic motion; returns (params, final_loss).
 
@@ -72,6 +73,8 @@ def pretrain(
             kwargs["cue_slow_frac"] = cue_slow_frac
         if onset_hazard > 0.0:
             kwargs["onset_hazard"] = onset_hazard
+        if ring_speed_range is not None:
+            kwargs["ring_speed_range"] = tuple(ring_speed_range)
         if regime_probs is not None:
             kwargs["regime_probs"] = tuple(regime_probs)
         data_fn = jax.jit(
@@ -136,6 +139,14 @@ def main(argv: Optional[list] = None) -> int:
                         "sawtooth starts moving; memoryless, so the "
                         "static-history drift prediction is p*E[speed] "
                         "at any history length (v3 data)")
+    p.add_argument("--ring_speed", default="",
+                   help="min,max radial speed for plain rings; makes the "
+                        "control-like regime move fast in a random "
+                        "direction instead of staying static (v4 data)")
+    p.add_argument("--regime_probs", default="",
+                   help="7 comma-separated regime probabilities "
+                        "(texture-static, texture-moving, plain-rings, "
+                        "linear-sawtooth, tangential, radial, disc-static)")
     p.add_argument("--out", default="")
     args = p.parse_args(argv)
 
@@ -157,6 +168,10 @@ def main(argv: Optional[list] = None) -> int:
                         if args.cue_slow else None),
         cue_slow_frac=args.slow_frac,
         onset_hazard=args.onset_hazard,
+        ring_speed_range=(tuple(float(x) for x in args.ring_speed.split(","))
+                          if args.ring_speed else None),
+        regime_probs=(tuple(float(x) for x in args.regime_probs.split(","))
+                      if args.regime_probs else None),
     )
     out = args.out or f"prednet_{'_'.join(map(str, channels))}.npz"
     save_params(params, out)

@@ -129,7 +129,7 @@ def _sym_rings(ph):
 
 def _phase_fields(key, T, h, w, speed_range=(0.5, 2.5), max_onset=0,
                   move_prob=1.0, slow_range=None, slow_frac=0.0,
-                  onset_hazard=0.0):
+                  onset_hazard=0.0, ring_speed_range=None):
     """Per-regime phase fields u(t, y, x); value = ramp(u).
 
     Motion is toward the ramp direction for the asymmetric regimes (the
@@ -239,7 +239,26 @@ def _phase_fields(key, T, h, w, speed_range=(0.5, 2.5), max_onset=0,
         2 * jnp.pi
     )
     u_radial = (r[None] - speed * t) / period
-    u_rings = jnp.broadcast_to(r[None] / ring_period, (T, h, w))
+    if ring_speed_range is None:
+        # control-like plain rings, STATIC (the v3 settling pressure)
+        u_rings = jnp.broadcast_to(r[None] / ring_period, (T, h, w))
+    else:
+        # plain rings in FAST unpredictable radial motion (v4, FPSI-like):
+        # symmetric appearance carries no direction cue, so the converged
+        # static-history prediction for control-like input is fast radial
+        # drift — far over the 0.3 px plausibility gate, which is how the
+        # published predictor zeroes the control (eigen_own_ratings.csv)
+        ring_speed = jax.random.uniform(
+            jax.random.fold_in(ks[6], 1), (),
+            minval=ring_speed_range[0], maxval=ring_speed_range[1],
+        )
+        ring_dir = jnp.sign(
+            jax.random.uniform(jax.random.fold_in(ks[6], 2), ()) - 0.5
+        )
+        # NOTE: uses the raw clock, not the onset-gated t — ring motion is
+        # never onset-delayed
+        t_raw = jnp.arange(T, dtype=jnp.float32)[:, None, None]
+        u_rings = (r[None] - ring_dir * ring_speed * t_raw) / ring_period
     return u_linear, u_tang, u_radial, u_rings, r
 
 
@@ -258,6 +277,7 @@ def synthetic_cue_batch(
     cue_slow_range=None,
     cue_slow_frac: float = 0.0,
     onset_hazard: float = 0.0,
+    ring_speed_range=None,
 ):
     """(batch, T, h, w, c) float32 cue sequences (v3).
 
@@ -303,7 +323,7 @@ def synthetic_cue_batch(
         # -- analytic phase-field branches -------------------------------
         u_lin, u_tang, u_rad, u_rings, r = _phase_fields(
             k_phase, T, h, w, cue_speed_range, max_onset, move_prob,
-            cue_slow_range, cue_slow_frac, onset_hazard,
+            cue_slow_range, cue_slow_frac, onset_hazard, ring_speed_range,
         )
         rise = jax.random.uniform(
             jax.random.fold_in(k_phase, 9), (), minval=0.7, maxval=0.9
