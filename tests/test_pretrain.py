@@ -77,6 +77,44 @@ class TestCueData:
         b = synthetic_cue_batch(jax.random.PRNGKey(2), 2, 3, 32, 32, 1)
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
+    def test_ring_speed_makes_rings_move(self):
+        # v4: plain rings move every frame when ring_speed_range is given
+        p = (0.0, 0.0, 1.0, 0.0, 0.0, 0.0, 0.0)
+        f = np.asarray(
+            synthetic_cue_batch(
+                jax.random.PRNGKey(5), 3, 5, 64, 80, 1, regime_probs=p,
+                ring_speed_range=(1.0, 2.5),
+            )
+        )
+        d = np.abs(np.diff(f, axis=1)).mean(axis=(2, 3, 4))
+        assert (d > 1e-3).all(), d
+
+    def test_geometric_onset_leaves_some_windows_static(self):
+        # with hazard p, about (1-p)^(T-1) of sawtooth sequences stay
+        # static through the whole window
+        p = (0.0, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0)
+        f = np.asarray(
+            synthetic_cue_batch(
+                jax.random.PRNGKey(6), 64, 6, 32, 40, 1, regime_probs=p,
+                onset_hazard=0.2,
+            )
+        )
+        moved = np.abs(np.diff(f, axis=1)).max(axis=(1, 2, 3, 4)) > 1e-6
+        frac_static = 1.0 - moved.mean()
+        # (1-0.2)^5 = 0.33; allow a wide band for 64 samples
+        assert 0.1 < frac_static < 0.6, frac_static
+
+    def test_move_prob_freezes_some_sawtooths(self):
+        p = (0.0, 0.0, 0.0, 0.0, 1.0, 0.0, 0.0)
+        f = np.asarray(
+            synthetic_cue_batch(
+                jax.random.PRNGKey(7), 64, 4, 32, 40, 1, regime_probs=p,
+                move_prob=0.5,
+            )
+        )
+        moved = np.abs(np.diff(f, axis=1)).max(axis=(1, 2, 3, 4)) > 1e-6
+        assert 0.25 < moved.mean() < 0.75, moved.mean()
+
 
 def test_pretrain_v3_smoke():
     params, loss = pretrain(
