@@ -51,6 +51,7 @@ def pretrain(
     cue_slow_frac: float = 0.0,
     onset_hazard: float = 0.0,
     ring_speed_range=None,
+    band_prob: float = 0.0,
 ):
     """Train a PredNet on synthetic motion; returns (params, final_loss).
 
@@ -75,6 +76,8 @@ def pretrain(
             kwargs["onset_hazard"] = onset_hazard
         if ring_speed_range is not None:
             kwargs["ring_speed_range"] = tuple(ring_speed_range)
+        if band_prob > 0.0:
+            kwargs["band_prob"] = band_prob
         if regime_probs is not None:
             kwargs["regime_probs"] = tuple(regime_probs)
         data_fn = jax.jit(
@@ -143,6 +146,10 @@ def main(argv: Optional[list] = None) -> int:
                    help="min,max radial speed for plain rings; makes the "
                         "control-like regime move fast in a random "
                         "direction instead of staying static (v4 data)")
+    p.add_argument("--band_prob", type=float, default=0.0,
+                   help="fraction of sawtooth sequences rendered as "
+                        "banded wedge rings / spoke segments (the rated-"
+                        "stimulus look) instead of dense ramps (v4 data)")
     p.add_argument("--regime_probs", default="",
                    help="7 comma-separated regime probabilities "
                         "(texture-static, texture-moving, plain-rings, "
@@ -172,6 +179,7 @@ def main(argv: Optional[list] = None) -> int:
                           if args.ring_speed else None),
         regime_probs=(tuple(float(x) for x in args.regime_probs.split(","))
                       if args.regime_probs else None),
+        band_prob=args.band_prob,
     )
     out = args.out or f"prednet_{'_'.join(map(str, channels))}.npz"
     save_params(params, out)

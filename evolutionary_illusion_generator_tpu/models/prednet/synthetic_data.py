@@ -259,7 +259,15 @@ def _phase_fields(key, T, h, w, speed_range=(0.5, 2.5), max_onset=0,
         # never onset-delayed
         t_raw = jnp.arange(T, dtype=jnp.float32)[:, None, None]
         u_rings = (r[None] - ring_dir * ring_speed * t_raw) / ring_period
-    return u_linear, u_tang, u_radial, u_rings, r
+    # static band masks for the rated-stimulus look (wedge rings separated
+    # by white gaps / spoke segments): ring mask varies with r only, so it
+    # is invariant under rotation; spoke mask varies with phi only, so it
+    # is invariant under expansion — banding never fights the cue motion
+    u_ring_static = r / ring_period
+    mask_ring = u_ring_static - jnp.floor(u_ring_static)  # in [0,1)
+    mask_spoke = phi * n_seg / (2 * jnp.pi)
+    mask_spoke = mask_spoke - jnp.floor(mask_spoke)
+    return u_linear, u_tang, u_radial, u_rings, r, mask_ring, mask_spoke
 
 
 def synthetic_cue_batch(
@@ -278,6 +286,7 @@ def synthetic_cue_batch(
     cue_slow_frac: float = 0.0,
     onset_hazard: float = 0.0,
     ring_speed_range=None,
+    band_prob: float = 0.0,
 ):
     """(batch, T, h, w, c) float32 cue sequences (v3).
 
@@ -321,18 +330,41 @@ def synthetic_cue_batch(
         )  # (T, h, w, c)
 
         # -- analytic phase-field branches -------------------------------
-        u_lin, u_tang, u_rad, u_rings, r = _phase_fields(
+        u_lin, u_tang, u_rad, u_rings, r, m_ring, m_spoke = _phase_fields(
             k_phase, T, h, w, cue_speed_range, max_onset, move_prob,
             cue_slow_range, cue_slow_frac, onset_hazard, ring_speed_range,
         )
         rise = jax.random.uniform(
             jax.random.fold_in(k_phase, 9), (), minval=0.7, maxval=0.9
         )
+        f_tang = _asym_ramp(u_tang, rise)
+        f_rad = _asym_ramp(u_rad, rise)
+        if band_prob > 0.0:
+            # rated-stimulus look: wedge rings separated by white gaps
+            # (tangential regime, motion-invariant ring mask) / spoke
+            # segments (radial regime, motion-invariant angular mask) —
+            # gives the flow tracker strong 2-D corners ON the moving
+            # elements, like the evolved EIGEN-images stimuli
+            kb = jax.random.fold_in(k_phase, 11)
+            banded = (
+                jax.random.uniform(kb, ()) < band_prob
+            ).astype(jnp.float32)
+            duty = jax.random.uniform(
+                jax.random.fold_in(kb, 1), (), minval=0.55, maxval=0.85
+            )
+            ring_keep = (m_ring < duty).astype(jnp.float32)[None]
+            spoke_keep = (m_spoke < duty).astype(jnp.float32)[None]
+            f_tang = jnp.where(
+                banded > 0, f_tang * ring_keep + (1 - ring_keep), f_tang
+            )
+            f_rad = jnp.where(
+                banded > 0, f_rad * spoke_keep + (1 - spoke_keep), f_rad
+            )
         fields = jnp.stack(
             [
                 _asym_ramp(u_lin, rise),
-                _asym_ramp(u_tang, rise),
-                _asym_ramp(u_rad, rise),
+                f_tang,
+                f_rad,
                 _sym_rings(u_rings),
             ]
         )  # (4, T, h, w)
