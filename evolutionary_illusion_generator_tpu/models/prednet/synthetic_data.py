@@ -360,12 +360,29 @@ def synthetic_cue_batch(
             f_rad = jnp.where(
                 banded > 0, f_rad * spoke_keep + (1 - spoke_keep), f_rad
             )
+        if ring_speed_range is not None and band_prob > 0.0:
+            # fast-moving rings share the banded wedge-ring LOOK of the
+            # slow sawtooth regimes but with a SYMMETRIC triangle fill —
+            # the only class discriminator left is the ramp asymmetry,
+            # which is precisely the illusion cue the fitness oracle
+            # probes (control-like symmetric fills -> fast, implausible;
+            # asymmetric ramps -> slow, coherent)
+            tri_spoke = 1.0 - jnp.abs(2.0 * m_spoke - 1.0)  # (h, w)
+            ring_phase = u_rings - jnp.floor(u_rings)  # moving bands
+            duty_r = jax.random.uniform(
+                jax.random.fold_in(k_phase, 13), (), minval=0.55,
+                maxval=0.85,
+            )
+            keep = (ring_phase < duty_r).astype(jnp.float32)
+            f_rings = tri_spoke[None] * keep + (1.0 - keep)
+        else:
+            f_rings = _sym_rings(u_rings)
         fields = jnp.stack(
             [
                 _asym_ramp(u_lin, rise),
                 f_tang,
                 f_rad,
-                _sym_rings(u_rings),
+                f_rings,
             ]
         )  # (4, T, h, w)
         # mask the aliased centre of polar patterns + bound the disc like
