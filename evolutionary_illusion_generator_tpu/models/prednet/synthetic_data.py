@@ -24,6 +24,15 @@ A predictor trained on this mixture predicts structure-consistent drift for
 ramp-patterned static input (rotation for tangential rings, expansion for
 radial ones) and near-zero drift for the control — the property the fitness
 oracle needs (eigen_own_ratings.csv ordering).
+
+The shipped recipe (v4, weights/README.md) uses the NO-STATIC subset of
+these regimes: static regimes teach settling on any long static history
+(history beats appearance once converged — measured round 2), while the
+published FPSI-trained predictor never saw a static world.  v4 therefore
+moves everything: plain symmetric rings fast (``ring_speed_range``) so
+control-like input predicts implausibly fast drift (score 0 via the
+plausibility gate), sawtooths slowly toward their ramp (coherent in-gate
+drift).
 """
 
 from __future__ import annotations
