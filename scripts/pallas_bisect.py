@@ -297,6 +297,120 @@ def variant_E(x, w, b, c_prev, rows=32):
     )(xp, w, b, c_prev)
 
 
+def variant_E2(x, w, b, c_prev, rows=32):
+    """E with the halo'd width padded to a multiple of 8 (Mosaic tiling).
+
+    The round-1 'HTTP 500' decoded on-hardware (2026-08-17) to: "Mosaic
+    failed to compile TPU kernel: Slice shape along dimension 2 must be
+    aligned to tiling (8), but is 130" — W+2 halo width breaks sublane
+    alignment for memref slices/DMA.  Padding the width to W+8 fixes it;
+    the kernel simply ignores the 6 slack columns."""
+    B, H, W, Cin = x.shape
+    C4 = w.shape[3]
+    C = C4 // 4
+    Wp = ((W + 2 + 7) // 8) * 8  # aligned halo'd width
+    xp = jnp.pad(
+        x.astype(jnp.bfloat16), ((0, 0), (1, 1), (1, Wp - W - 1), (0, 0))
+    )
+
+    def kernel(x_hbm, w_ref, b_ref, c_ref, h_out, c_out, x_vmem, sem):
+        bi = pl.program_id(0)
+        r = pl.program_id(1)
+        copy = pltpu.make_async_copy(
+            x_hbm.at[bi, pl.ds(r * rows, rows + 2)], x_vmem, sem
+        )
+        copy.start()
+        copy.wait()
+        acc = _shifted_dots(
+            x_vmem[:].astype(jnp.bfloat16), w_ref[:].astype(jnp.bfloat16),
+            rows, W, C4,
+        )
+        h, c = _gate_update(acc, b_ref, c_ref[0].astype(jnp.float32), C)
+        h_out[0] = h.astype(h_out.dtype)
+        c_out[0] = c
+
+    return pl.pallas_call(
+        kernel,
+        grid=(B, H // rows),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((3, 3, Cin, C4), lambda bi, r: (0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C4,), lambda bi, r: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rows, W, C), lambda bi, r: (bi, r, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, rows, W, C), lambda bi, r: (bi, r, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rows, W, C), lambda bi, r: (bi, r, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, H, W, C), c_prev.dtype),
+            jax.ShapeDtypeStruct((B, H, W, C), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((rows + 2, Wp, Cin), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+    )(xp, w, b, c_prev)
+
+
+def variant_H2(x, w, b, c_prev, rows=32):
+    """H with the materialized halo windows padded to aligned width."""
+    B, H, W, Cin = x.shape
+    C4 = w.shape[3]
+    C = C4 // 4
+    nblk = H // rows
+    Wp = ((W + 2 + 7) // 8) * 8
+    xp = jnp.pad(
+        x.astype(jnp.bfloat16), ((0, 0), (1, 1), (1, Wp - W - 1), (0, 0))
+    )
+    xh = jnp.stack(
+        [xp[:, i * rows : i * rows + rows + 2] for i in range(nblk)], axis=1
+    )  # (B, nblk, rows+2, Wp, Cin)
+
+    def kernel(x_ref, w_ref, b_ref, c_ref, h_out, c_out):
+        acc = _shifted_dots(
+            x_ref[0, 0], w_ref[:].astype(jnp.bfloat16), rows, W, C4
+        )
+        h, c = _gate_update(acc, b_ref, c_ref[0].astype(jnp.float32), C)
+        h_out[0] = h.astype(h_out.dtype)
+        c_out[0] = c
+
+    return pl.pallas_call(
+        kernel,
+        grid=(B, nblk),
+        in_specs=[
+            pl.BlockSpec((1, 1, rows + 2, Wp, Cin),
+                         lambda bi, r: (bi, r, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, 3, Cin, C4), lambda bi, r: (0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C4,), lambda bi, r: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rows, W, C), lambda bi, r: (bi, r, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, rows, W, C), lambda bi, r: (bi, r, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rows, W, C), lambda bi, r: (bi, r, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, H, W, C), c_prev.dtype),
+            jax.ShapeDtypeStruct((B, H, W, C), jnp.float32),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+    )(xh, w, b, c_prev)
+
+
 def variant_F(x, w, b, c_prev):
     from evolutionary_illusion_generator_tpu.ops.convlstm_fused_pallas import (
         fused_convlstm_layer,
@@ -313,6 +427,8 @@ VARIANTS = {
     "D": variant_D,
     "H": variant_H,
     "E": variant_E,
+    "I": variant_H2,  # aligned-width H
+    "J": variant_E2,  # aligned-width E
     "F": variant_F,
     "X": xla_reference,
 }
@@ -381,7 +497,7 @@ def main():
     want = np.asarray(xla_reference(x, w, b, c_prev)[0], np.float32)
     for name in args.variants:
         fn = VARIANTS[name]
-        if name in ("H", "E"):
+        if name in ("H", "E", "I", "J"):
             fn = functools.partial(fn, rows=args.rows)
         run_variant(name, fn, (x, w, b, c_prev), want, check=True)
 
