@@ -75,7 +75,11 @@ def measure_generation(pop, reps, backend_note=""):
         h=H,
         c_dim=3,
         gradient=1,
-        use_pallas=os.environ.get("BENCH_PALLAS", "0") == "1",
+        # BENCH_PALLAS: 0 = XLA chain, 1 = fused gate kernel,
+        # 2 = fully-fused ConvLSTM layer kernel ("fused")
+        use_pallas={"0": False, "1": True, "2": "fused"}[
+            os.environ.get("BENCH_PALLAS", "0")
+        ],
         microbatch=MICROBATCH,
     )
     evaluator = GenerationEvaluator(cfg, params, neat_cfg)

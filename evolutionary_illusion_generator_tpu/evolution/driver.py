@@ -71,7 +71,7 @@ def neat_illusion(
     seed: int = 0,
     checkpoint_every: int = 1,
     score_on_device: bool = False,
-    use_pallas: bool = False,
+    use_pallas: Union[bool, str] = False,
     microbatch: int = 0,
     repeat: int = 20,
     extension: int = 2,

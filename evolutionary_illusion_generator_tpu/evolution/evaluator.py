@@ -88,7 +88,7 @@ class EvalConfig:
     # NEAT where it silently poisons max/mean comparisons; disable to
     # reproduce that.
     nan_to_zero: bool = True
-    use_pallas: bool = False
+    use_pallas: Union[bool, str] = False
     # predictor compute dtype: "bfloat16" halves the rollout's post-conv
     # bandwidth (the generation's dominant cost); "float32" for exact
     # predictor numerics

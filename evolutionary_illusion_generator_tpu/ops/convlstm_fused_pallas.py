@@ -1,22 +1,26 @@
-"""Fully-fused ConvLSTM layer kernel (Pallas/TPU) — round-2 prototype.
+"""Fully-fused ConvLSTM layer kernel (Pallas/TPU).
 
 One pass per layer step: the 3x3 gate convolution (shifted-matmul
 formulation — nine MXU dots against weight slices, no im2col buffer), bias,
 gate nonlinearities, and the cell/hidden update, reading x and c_prev once
-and writing h and c once.  XLA currently splits this chain into ~6 fusions
-with intermediate HBM round-trips (see BENCH_NOTES.md profile); fusing it is
-the identified next step-change for the rollout.
+and writing h and c once.  XLA splits this chain into ~6 fusions with
+intermediate HBM round-trips (BENCH_NOTES.md profile); measured on one v5e
+chip at the north-star layer-1 shape (B25 240x320 Cin240 C48) the fused
+kernel runs 28.0 ms vs 34.7 ms for XLA's conv + fused gate chain (-19%),
+including the halo materialization (scripts/pallas_bisect.py variants I/X).
 
-Row blocks overlap by the conv halo, which standard BlockSpec blocking can't
-express — the input stays in HBM (``pltpu.ANY``) and each program DMAs its
-(rows+2) window into a VMEM scratch explicitly.
+Blocking: row blocks overlap by the conv halo, which plain BlockSpec
+blocking cannot express — AND Mosaic rejects memref slices/DMA windows
+whose sublane extent is not tile-aligned (the round-1 "HTTP 500" decoded
+to: "Slice shape along dimension 2 must be aligned to tiling (8), but is
+130").  Both constraints are satisfied by materializing the overlapped
+row windows once in HBM with the halo'd width padded to a multiple of 16
+(bf16 sublane tiling is 8 x 2-packed), then tiling with BlockSpec only:
+Mosaic double-buffers the block fetches automatically, no manual DMA.
 
-Status: correctness-complete (parity-tested against the reference jnp math
-in interpret mode on CPU).  This environment's remote-compile helper
-crashes on the kernel with an opaque HTTP 500 (no Mosaic diagnostic is
-relayed), so on-hardware timing is pending a local-compile environment;
-integration into the rollout (per-layer shapes, the summed multi-source
-gate conv, upsample input) is ROADMAP item 1.
+The kernel is numerics-compatible with the model's split-gate-conv path
+(models/prednet/model.py prednet_step): pass x = concat([E, R, up(R+1)])
+and the full fused lstm_w; the per-source conv sum is the same dot.
 """
 
 from __future__ import annotations
@@ -28,59 +32,47 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["fused_convlstm_layer"]
+__all__ = ["fused_convlstm_layer", "pick_rows"]
 
 
-def _make_kernel(rows: int, W: int, Cin: int, C: int):
-    def kernel(x_hbm, w_ref, b_ref, c_ref, h_out_ref, c_out_ref):
-        bi = pl.program_id(0)
-        r = pl.program_id(1)
+def pick_rows(h: int, target: int = 48) -> int:
+    """Largest row-block size <= target that divides ``h``.
 
-        def body(x_vmem, sem):
-            # DMA this block's input rows (+halo) from HBM
-            copy = pltpu.make_async_copy(
-                x_hbm.at[bi, pl.ds(r * rows, rows + 2)], x_vmem, sem
+    Bigger blocks amortize the 2-row halo overlap; 40-48 rows measured
+    fastest at the north-star shape (pallas_bisect --rows sweep)."""
+    for rows in range(min(target, h), 0, -1):
+        if h % rows == 0:
+            return rows
+    return h
+
+
+def _kernel(x_ref, w_ref, b_ref, c_ref, h_out, c_out, *, rows, W, C4, C):
+    x = x_ref[0, 0]  # (rows+2, Wp, Cin) bf16
+    wk = w_ref[:].astype(jnp.bfloat16)
+    acc = jnp.zeros((rows, W, C4), jnp.float32)
+    for ky in range(3):
+        for kx in range(3):
+            tap = x[ky : ky + rows, kx : kx + W, :]
+            acc = acc + jax.lax.dot_general(
+                tap,
+                wk[ky, kx],
+                dimension_numbers=(((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
             )
-            copy.start()
-            copy.wait()
-
-            x = x_vmem[:].astype(jnp.bfloat16)  # (rows+2, W+2, Cin)
-            # contract the channel dim directly ((rows, W, Cin) x (Cin, 4C))
-            # — no cross-dim reshapes, which Mosaic cannot always lower
-            acc = jnp.zeros((rows, W, 4 * C), jnp.float32)
-            for ky in range(3):
-                for kx in range(3):
-                    tap = x[ky : ky + rows, kx : kx + W, :]
-                    acc = acc + jax.lax.dot_general(
-                        tap,
-                        w_ref[ky, kx].astype(jnp.bfloat16),
-                        dimension_numbers=(((2,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                    )
-            gates = acc + b_ref[:].astype(jnp.float32)
-
-            i = jax.nn.sigmoid(gates[..., 0 * C : 1 * C])
-            f = jax.nn.sigmoid(gates[..., 1 * C : 2 * C])
-            o = jax.nn.sigmoid(gates[..., 2 * C : 3 * C])
-            g = jnp.tanh(gates[..., 3 * C : 4 * C])
-            c_prev = c_ref[0].astype(jnp.float32)
-            c = f * c_prev + i * g
-            h = o * jnp.tanh(c)
-            h_out_ref[0] = h.astype(h_out_ref.dtype)
-            c_out_ref[0] = c.astype(c_out_ref.dtype)
-
-        pl.run_scoped(
-            body,
-            x_vmem=pltpu.VMEM((rows + 2, W + 2, Cin), x_hbm.dtype),
-            sem=pltpu.SemaphoreType.DMA(()),
-        )
-
-    return kernel
+    gates = acc + b_ref[:].astype(jnp.float32)
+    i = jax.nn.sigmoid(gates[..., 0 * C : 1 * C])
+    f = jax.nn.sigmoid(gates[..., 1 * C : 2 * C])
+    o = jax.nn.sigmoid(gates[..., 2 * C : 3 * C])
+    g = jnp.tanh(gates[..., 3 * C : 4 * C])
+    c = f * c_ref[0].astype(jnp.float32) + i * g
+    h = o * jnp.tanh(c)
+    h_out[0] = h.astype(h_out.dtype)
+    c_out[0] = c.astype(c_out.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("rows_per_block", "interpret"))
 def fused_convlstm_layer(
-    x, w, b, c_prev, rows_per_block: int = 8, interpret: bool = False
+    x, w, b, c_prev, rows_per_block: int = 0, interpret: bool = False
 ):
     """One fused ConvLSTM layer update.
 
@@ -89,42 +81,46 @@ def fused_convlstm_layer(
       w: (3, 3, Cin, 4C) gate conv kernel (HWIO).
       b: (4C,) bias.
       c_prev: (B, H, W, C) previous cell state.
+      rows_per_block: row-block height; 0 = auto (:func:`pick_rows`).
     Returns:
       (h, c): h in c_prev's dtype, c in f32, both (B, H, W, C).
     """
     B, H, W, Cin = x.shape
     C4 = w.shape[3]
     C = C4 // 4
-    assert H % rows_per_block == 0, (H, rows_per_block)
-    rows = rows_per_block
-    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    rows = rows_per_block or pick_rows(H)
+    assert H % rows == 0, (H, rows)
+    nblk = H // rows
+    # halo'd width padded to a multiple of 16 (bf16 sublane tiling);
+    # kernel reads only the first W+2 columns
+    Wp = ((W + 2 + 15) // 16) * 16
+    xp = jnp.pad(
+        x.astype(jnp.bfloat16), ((0, 0), (1, 1), (1, Wp - W - 1), (0, 0))
+    )
+    # materialize the overlapped row windows: (B, nblk, rows+2, Wp, Cin)
+    xh = jnp.stack(
+        [xp[:, i * rows : i * rows + rows + 2] for i in range(nblk)], axis=1
+    )
 
-    grid = (B, H // rows)
+    kern = functools.partial(_kernel, rows=rows, W=W, C4=C4, C=C)
     h, c = pl.pallas_call(
-        _make_kernel(rows, W, Cin, C),
-        grid=grid,
+        kern,
+        grid=(B, nblk),
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),  # x stays in HBM
+            pl.BlockSpec((1, 1, rows + 2, Wp, Cin),
+                         lambda bi, r: (bi, r, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((3, 3, Cin, C4), lambda bi, r: (0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((C4,), lambda bi, r: (0,), memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (1, rows, W, C),
-                lambda bi, r: (bi, r, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
+            pl.BlockSpec((1, rows, W, C), lambda bi, r: (bi, r, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec(
-                (1, rows, W, C),
-                lambda bi, r: (bi, r, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, rows, W, C),
-                lambda bi, r: (bi, r, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
+            pl.BlockSpec((1, rows, W, C), lambda bi, r: (bi, r, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rows, W, C), lambda bi, r: (bi, r, 0, 0),
+                         memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((B, H, W, C), c_prev.dtype),
@@ -133,6 +129,6 @@ def fused_convlstm_layer(
         interpret=interpret,
         compiler_params=None
         if interpret
-        else pltpu.CompilerParams(vmem_limit_bytes=96 * 1024 * 1024),
-    )(xp, w, b, c_prev)
+        else pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+    )(xh, w, b, c_prev)
     return h, c

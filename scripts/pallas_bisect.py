@@ -308,7 +308,9 @@ def variant_E2(x, w, b, c_prev, rows=32):
     B, H, W, Cin = x.shape
     C4 = w.shape[3]
     C = C4 // 4
-    Wp = ((W + 2 + 7) // 8) * 8  # aligned halo'd width
+    # bf16 sublane tiling is (8)x(2 packed) = 16 — align the halo'd width
+    # to 16, not 8 (the second Mosaic diagnostic after the 130->136 fix)
+    Wp = ((W + 2 + 15) // 16) * 16
     xp = jnp.pad(
         x.astype(jnp.bfloat16), ((0, 0), (1, 1), (1, Wp - W - 1), (0, 0))
     )
@@ -366,7 +368,7 @@ def variant_H2(x, w, b, c_prev, rows=32):
     C4 = w.shape[3]
     C = C4 // 4
     nblk = H // rows
-    Wp = ((W + 2 + 7) // 8) * 8
+    Wp = ((W + 2 + 15) // 16) * 16
     xp = jnp.pad(
         x.astype(jnp.bfloat16), ((0, 0), (1, 1), (1, Wp - W - 1), (0, 0))
     )
