@@ -35,3 +35,33 @@ def test_matches_conv_plus_gates(shape):
                                rtol=5e-2)
     np.testing.assert_allclose(np.asarray(c), np.asarray(c_ref), atol=5e-2,
                                rtol=5e-2)
+
+
+def test_fused_rollout_parity():
+    """use_pallas='fused' through the full rollout matches the default
+    path (interpret mode on CPU; bf16 tolerance)."""
+    from evolutionary_illusion_generator_tpu.models.prednet.model import (
+        init_params,
+        rollout_flow_frames,
+    )
+
+    params = init_params(jax.random.PRNGKey(0), (1, 8, 16))
+    imgs = jax.random.uniform(jax.random.PRNGKey(1), (2, 32, 48, 1))
+    f0a, f1a = rollout_flow_frames(params, imgs, repeat=3, extension=2,
+                                   pair="probe")
+    f0b, f1b = rollout_flow_frames(params, imgs, repeat=3, extension=2,
+                                   pair="probe", use_pallas="fused")
+    np.testing.assert_allclose(np.asarray(f0a), np.asarray(f0b), atol=2e-3)
+    np.testing.assert_allclose(np.asarray(f1a), np.asarray(f1b), atol=2e-3)
+
+
+def test_pick_rows():
+    from evolutionary_illusion_generator_tpu.ops.convlstm_fused_pallas import (
+        pick_rows,
+    )
+
+    assert pick_rows(240) == 48
+    assert pick_rows(480) == 48
+    assert pick_rows(120) == 40
+    assert pick_rows(30) == 30
+    assert 30 % pick_rows(30) == 0
