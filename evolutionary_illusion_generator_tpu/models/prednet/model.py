@@ -204,8 +204,11 @@ def _lstm_gates_jnp(gates, c_prev, peephole=None):
     return h, c
 
 
-def _apply_gates(gates, c_prev, use_pallas: bool, peephole=None):
-    if use_pallas and peephole is None:
+def _apply_gates(gates, c_prev, use_pallas, peephole=None):
+    # only the explicit True selects the standalone gate kernel; "fused"
+    # layers that fall back here (narrow C, see prednet_step) use the XLA
+    # chain, which is faster at those shapes
+    if use_pallas is True and peephole is None:
         from ...ops.convlstm_pallas import fused_lstm_gates
 
         # off-TPU (CPU test mesh) the kernel runs in interpreter mode
@@ -255,11 +258,15 @@ def prednet_step(
         peephole = None
         if "w_ci" in params[l]:
             peephole = {k: params[l][k] for k in ("w_ci", "w_cf", "w_co")}
-        if use_pallas == "fused" and peephole is None:
+        if use_pallas == "fused" and peephole is None and C >= 32:
             # single fused conv+gates+update kernel (ops/
             # convlstm_fused_pallas.py): one HBM read of the sources, one
             # write of h/c; measured -19% vs the XLA chain at the
-            # north-star layer-1 shape
+            # north-star layer-1 shape.  Only for wide layers: Mosaic pads
+            # lanes to 128, so a narrow layer (layer 0: C=3, Cin=57)
+            # inflates its VMEM footprint ~10x and OOMs the kernel stack
+            # (measured: 120.7M > 100M at the north-star config); the
+            # split-conv XLA path stays for those.
             from ...ops.convlstm_fused_pallas import fused_convlstm_layer
 
             srcs = [s["e"], s["r"]]
