@@ -258,27 +258,35 @@ def prednet_step(
         peephole = None
         if "w_ci" in params[l]:
             peephole = {k: params[l][k] for k in ("w_ci", "w_cf", "w_co")}
+        H_l = s["r"].shape[1]
+        rows_l = 0
         if use_pallas == "fused" and peephole is None and C >= 32:
-            # single fused conv+gates+update kernel (ops/
-            # convlstm_fused_pallas.py): one HBM read of the sources, one
-            # write of h/c; measured -19% vs the XLA chain at the
-            # north-star layer-1 shape.  Only for wide layers: Mosaic pads
-            # lanes to 128, so a narrow layer (layer 0: C=3, Cin=57)
-            # inflates its VMEM footprint ~10x and OOMs the kernel stack
-            # (measured: 120.7M > 100M at the north-star config); the
-            # split-conv XLA path stays for those.
-            from ...ops.convlstm_fused_pallas import fused_convlstm_layer
+            from ...ops.convlstm_fused_pallas import pick_rows
 
-            srcs = [s["e"], s["r"]]
-            w_l = w[:, :, : 3 * C]
-            if r_above is not None:
-                srcs.append(_upsample2(r_above))
-                w_l = w
-            x = jnp.concatenate(
-                [t.astype(jnp.bfloat16) for t in srcs], axis=-1
+            rows_l = pick_rows(H_l)
+        if rows_l and rows_l % 8 == 0:
+            # multi-source fused conv+gates+update kernel (ops/
+            # convlstm_fused_pallas.py): every program DMAs its own
+            # aligned source windows, so neither a concat nor a halo
+            # window stack is materialized; the gates tensor never
+            # round-trips HBM.  Only for wide layers: Mosaic pads lanes
+            # to 128, so a narrow layer (layer 0: C=3, Cin=57) inflates
+            # its VMEM footprint ~10x and OOMs the kernel stack
+            # (measured: 120.7M > 100M at the north-star config); the
+            # split-conv XLA path stays for those, and for heights with
+            # no 8-aligned row blocking.
+            from ...ops.convlstm_fused_pallas import (
+                fused_convlstm_layer_multi,
             )
-            h, c = fused_convlstm_layer(
-                x, w_l, params[l]["lstm_b"], s["c"],
+
+            srcs = [s["e"].astype(jnp.bfloat16), s["r"].astype(jnp.bfloat16)]
+            wsrc = [w[:, :, : 2 * C], w[:, :, 2 * C : 3 * C]]
+            if r_above is not None:
+                srcs.append(_upsample2(r_above).astype(jnp.bfloat16))
+                wsrc.append(w[:, :, 3 * C :])
+            h, c = fused_convlstm_layer_multi(
+                srcs, wsrc, params[l]["lstm_b"], s["c"],
+                rows_per_block=rows_l,
                 interpret=jax.default_backend() != "tpu",
             )
         else:

@@ -32,7 +32,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["fused_convlstm_layer", "pick_rows"]
+__all__ = ["fused_convlstm_layer", "fused_convlstm_layer_multi", "pick_rows"]
 
 
 def pick_rows(h: int, target: int = 48) -> int:
@@ -131,4 +131,137 @@ def fused_convlstm_layer(
         if interpret
         else pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
     )(xh, w, b, c_prev)
+    return h, c
+
+
+def _kernel_multi(*refs, rows, W, C4, C, n_src, Cins):
+    # refs: x_hbm[0..n_src-1], w[0..n_src-1], b, c_ref, h_out, c_out,
+    #        x_vmem[0..n_src-1], sem[0..n_src-1]
+    x_hbms = refs[:n_src]
+    ws = refs[n_src : 2 * n_src]
+    b_ref = refs[2 * n_src]
+    c_ref = refs[2 * n_src + 1]
+    h_out = refs[2 * n_src + 2]
+    c_out = refs[2 * n_src + 3]
+    x_vmems = refs[2 * n_src + 4 : 3 * n_src + 4]
+    sems = refs[3 * n_src + 4 : 4 * n_src + 4]
+
+    bi = pl.program_id(0)
+    r = pl.program_id(1)
+    copies = []
+    for s in range(n_src):
+        # window start r*rows and size rows+16 are both 8-aligned; the
+        # +8-row top pad puts the conv halo at in-window offset 7
+        cp = pltpu.make_async_copy(
+            x_hbms[s].at[bi, pl.ds(r * rows, rows + 16)], x_vmems[s], sems[s]
+        )
+        cp.start()
+        copies.append(cp)
+    acc = jnp.zeros((rows, W, C4), jnp.float32)
+    for s in range(n_src):
+        copies[s].wait()
+        x = x_vmems[s][:].astype(jnp.bfloat16)
+        wk = ws[s][:].astype(jnp.bfloat16)
+        for ky in range(3):
+            for kx in range(3):
+                tap = x[7 + ky : 7 + ky + rows, kx : kx + W, :]
+                acc = acc + jax.lax.dot_general(
+                    tap,
+                    wk[ky, kx],
+                    dimension_numbers=(((2,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+    gates = acc + b_ref[:].astype(jnp.float32)
+    i = jax.nn.sigmoid(gates[..., 0 * C : 1 * C])
+    f = jax.nn.sigmoid(gates[..., 1 * C : 2 * C])
+    o = jax.nn.sigmoid(gates[..., 2 * C : 3 * C])
+    g = jnp.tanh(gates[..., 3 * C : 4 * C])
+    c = f * c_ref[0].astype(jnp.float32) + i * g
+    h = o * jnp.tanh(c)
+    h_out[0] = h.astype(h_out.dtype)
+    c_out[0] = c.astype(c_out.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("rows_per_block", "interpret")
+)
+def fused_convlstm_layer_multi(
+    srcs, ws, b, c_prev, rows_per_block: int = 0, interpret: bool = False
+):
+    """Fused ConvLSTM update reading each gate-conv source separately.
+
+    Unlike :func:`fused_convlstm_layer`, nothing is materialized in HBM:
+    each source stays as-is (8-row top / bottom padding only) and every
+    program DMAs its own aligned (rows+16)-row window per source — window
+    start ``r*rows`` and size ``rows+16`` are both sublane-aligned, which
+    is what Mosaic requires of DMA slices.  This removes the
+    concat + halo-window-stack traffic that made the single-input kernel
+    a net loss in the full pipeline (BENCH_NOTES.md).
+
+    Args:
+      srcs: list of (B, H, W, Cin_s) inputs (E, R, upsampled R above).
+      ws: list of (3, 3, Cin_s, 4C) weight slices, same order.
+      b: (4C,) bias.
+      c_prev: (B, H, W, C).
+    """
+    n_src = len(srcs)
+    B, H, W, _ = srcs[0].shape
+    C4 = ws[0].shape[3]
+    C = C4 // 4
+    rows = rows_per_block or pick_rows(H)
+    # DMA window starts are r*rows: must be sublane-aligned
+    assert H % rows == 0 and rows % 8 == 0, (H, rows)
+    Wp = ((W + 2 + 15) // 16) * 16
+    Cins = tuple(int(s.shape[-1]) for s in srcs)
+    # 8 rows top pad (halo lives at offset 7), >=8 bottom; width 1 + pad
+    xps = [
+        jnp.pad(
+            s.astype(jnp.bfloat16),
+            ((0, 0), (8, 8), (1, Wp - W - 1), (0, 0)),
+        )
+        for s in srcs
+    ]
+
+    kern = functools.partial(
+        _kernel_multi, rows=rows, W=W, C4=C4, C=C, n_src=n_src, Cins=Cins
+    )
+    h, c = pl.pallas_call(
+        kern,
+        grid=(B, H // rows),
+        in_specs=(
+            [pl.BlockSpec(memory_space=pltpu.ANY) for _ in range(n_src)]
+            + [
+                pl.BlockSpec(
+                    (3, 3, Cins[s], C4), lambda bi, r: (0, 0, 0, 0),
+                    memory_space=pltpu.VMEM,
+                )
+                for s in range(n_src)
+            ]
+            + [
+                pl.BlockSpec((C4,), lambda bi, r: (0,),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, rows, W, C), lambda bi, r: (bi, r, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ]
+        ),
+        out_specs=(
+            pl.BlockSpec((1, rows, W, C), lambda bi, r: (bi, r, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rows, W, C), lambda bi, r: (bi, r, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, H, W, C), c_prev.dtype),
+            jax.ShapeDtypeStruct((B, H, W, C), jnp.float32),
+        ),
+        scratch_shapes=(
+            [pltpu.VMEM((rows + 16, Wp, Cins[s]), jnp.bfloat16)
+             for s in range(n_src)]
+            + [pltpu.SemaphoreType.DMA for _ in range(n_src)]
+        ),
+        interpret=interpret,
+        compiler_params=None
+        if interpret
+        else pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+    )(*xps, *ws, b, c_prev)
     return h, c
