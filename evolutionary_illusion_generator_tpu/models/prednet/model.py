@@ -264,17 +264,21 @@ def prednet_step(
             from ...ops.convlstm_fused_pallas import pick_rows
 
             rows_l = pick_rows(H_l)
-        if rows_l and rows_l % 8 == 0:
-            # multi-source fused conv+gates+update kernel (ops/
-            # convlstm_fused_pallas.py): every program DMAs its own
-            # aligned source windows, so neither a concat nor a halo
-            # window stack is materialized; the gates tensor never
-            # round-trips HBM.  Only for wide layers: Mosaic pads lanes
-            # to 128, so a narrow layer (layer 0: C=3, Cin=57) inflates
-            # its VMEM footprint ~10x and OOMs the kernel stack
-            # (measured: 120.7M > 100M at the north-star config); the
-            # split-conv XLA path stays for those, and for heights with
-            # no 8-aligned row blocking.
+        srcs_cin = [2 * C, C] + ([C] if r_above is not None else [])
+        use_multi = (
+            rows_l
+            and rows_l % 8 == 0
+            and all(ci % 128 == 0 for ci in srcs_cin)
+        )
+        if use_multi:
+            # multi-source fused kernel: every program DMAs its own
+            # aligned source windows — no concat, no halo window stack,
+            # no gates round-trip.  Mosaic requires DMA slices to cover
+            # whole 128-lane tiles, so this path needs every source's
+            # channel count to be a multiple of 128 (measured failure
+            # otherwise: "Slice shape along dimension 3 must be aligned
+            # to tiling (128), but is 192") — rarely true at PredNet
+            # widths, hence the single-input fallback below.
             from ...ops.convlstm_fused_pallas import (
                 fused_convlstm_layer_multi,
             )
@@ -287,6 +291,27 @@ def prednet_step(
             h, c = fused_convlstm_layer_multi(
                 srcs, wsrc, params[l]["lstm_b"], s["c"],
                 rows_per_block=rows_l,
+                interpret=jax.default_backend() != "tpu",
+            )
+        elif rows_l:
+            # single-input fused conv+gates+update kernel: concat the
+            # sources, materialize aligned halo windows, one pass for
+            # conv+gates+state.  -19% vs XLA at the isolated layer-1
+            # shape but a net pipeline loss from the materializations
+            # (BENCH_NOTES.md) — which is why use_pallas='fused' is
+            # opt-in and the XLA split-conv chain is the default.
+            from ...ops.convlstm_fused_pallas import fused_convlstm_layer
+
+            srcs = [s["e"], s["r"]]
+            w_l = w[:, :, : 3 * C]
+            if r_above is not None:
+                srcs.append(_upsample2(r_above))
+                w_l = w
+            x = jnp.concatenate(
+                [t.astype(jnp.bfloat16) for t in srcs], axis=-1
+            )
+            h, c = fused_convlstm_layer(
+                x, w_l, params[l]["lstm_b"], s["c"],
                 interpret=jax.default_backend() != "tpu",
             )
         else:
