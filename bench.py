@@ -53,6 +53,18 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
+def _parse_bench_pallas(value):
+    """BENCH_PALLAS: 0 = XLA chain, 1 = fused gate kernel, 2 = fully-fused
+    ConvLSTM layer kernel ('fused')."""
+    table = {"0": False, "1": True, "2": "fused"}
+    if value not in table:
+        raise SystemExit(
+            f"BENCH_PALLAS={value!r} invalid: use 0 (XLA chain), "
+            "1 (fused gate kernel) or 2 (fused ConvLSTM layer kernel)"
+        )
+    return table[value]
+
+
 def measure_generation(pop, reps, backend_note=""):
     """Median seconds per generation for a pop-sized population."""
     from random import Random
@@ -77,9 +89,7 @@ def measure_generation(pop, reps, backend_note=""):
         gradient=1,
         # BENCH_PALLAS: 0 = XLA chain, 1 = fused gate kernel,
         # 2 = fully-fused ConvLSTM layer kernel ("fused")
-        use_pallas={"0": False, "1": True, "2": "fused"}[
-            os.environ.get("BENCH_PALLAS", "0")
-        ],
+        use_pallas=_parse_bench_pallas(os.environ.get("BENCH_PALLAS", "0")),
         microbatch=MICROBATCH,
     )
     evaluator = GenerationEvaluator(cfg, params, neat_cfg)

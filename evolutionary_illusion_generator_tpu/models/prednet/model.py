@@ -264,7 +264,13 @@ def prednet_step(
             from ...ops.convlstm_fused_pallas import pick_rows
 
             rows_l = pick_rows(H_l)
-        srcs_cin = [2 * C, C] + ([C] if r_above is not None else [])
+        # NOTE: the top-down source keeps r_above's own channel count
+        # (channels[l+1], not C) — the gate must test the real width or it
+        # mis-selects the multi kernel on non-doubling stacks (e.g. 128->192,
+        # where Mosaic then fails the 128-lane DMA tiling rule).
+        srcs_cin = [2 * C, C] + (
+            [r_above.shape[-1]] if r_above is not None else []
+        )
         use_multi = (
             rows_l
             and rows_l % 8 == 0

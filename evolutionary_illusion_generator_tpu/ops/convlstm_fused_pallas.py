@@ -229,7 +229,7 @@ def fused_convlstm_layer_multi(
         kern,
         grid=(B, H // rows),
         in_specs=(
-            [pl.BlockSpec(memory_space=pltpu.ANY) for _ in range(n_src)]
+            [pl.BlockSpec(memory_space=pl.ANY) for _ in range(n_src)]
             + [
                 pl.BlockSpec(
                     (3, 3, Cins[s], C4), lambda bi, r: (0, 0, 0, 0),
