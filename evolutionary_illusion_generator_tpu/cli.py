@@ -52,6 +52,7 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--equilum", action="store_true", help="equiluminant (HSV) rendering — working version of the reference's dead path (generate_illusion.py:511)")
     parser.add_argument("--pertype_count", default=1, type=int, help="renders per genome, fitness = mean over renders (reference latent-traversal machinery, generate_illusion.py:495-496)")
     parser.add_argument("--tensorboard", action="store_true", help="write TensorBoard scalars to <output_dir>/tensorboard beside metrics.jsonl")
+    parser.add_argument("--chainer_half_order", default="ahat-a", choices=("ahat-a", "a-ahat", "auto"), help="E-unit half convention of an imported Chainer .model snapshot (auto = detect empirically)")
     return parser
 
 
@@ -71,6 +72,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         equilum=args.equilum,
         pertype_count=args.pertype_count,
         tensorboard=args.tensorboard,
+        chainer_half_order=args.chainer_half_order,
     )
 
     if args.preset:

@@ -83,6 +83,7 @@ def neat_illusion(
     quiet: bool = False,
     n_devices: Optional[int] = None,
     profile_dir: Optional[str] = None,
+    chainer_half_order: str = "ahat-a",
 ) -> Population:
     """Evolve illusions for up to ``generations`` generations.
 
@@ -98,7 +99,8 @@ def neat_illusion(
     enable_compilation_cache()
     neat_cfg = resolve_neat_config(config, structure, c_dim, gradient)
 
-    params = load_or_init(model_name, list(channels), seed=seed)
+    params = load_or_init(model_name, list(channels), seed=seed,
+                          half_order=chainer_half_order)
 
     eval_cfg = EvalConfig(
         structure=structure,

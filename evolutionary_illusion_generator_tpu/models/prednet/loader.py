@@ -23,7 +23,13 @@ import numpy as np
 
 from .model import PredNetParams, init_params
 
-__all__ = ["save_params", "load_params", "load_chainer_model", "load_or_init"]
+__all__ = [
+    "save_params",
+    "load_params",
+    "load_chainer_model",
+    "detect_half_order",
+    "load_or_init",
+]
 
 
 def save_params(params: PredNetParams, path: str, dtype=np.float32) -> None:
@@ -52,7 +58,10 @@ def load_params(path: str, dtype=jnp.bfloat16) -> PredNetParams:
 
 
 def load_chainer_model(
-    path: str, channels: Sequence[int], dtype=jnp.bfloat16
+    path: str,
+    channels: Sequence[int],
+    dtype=jnp.bfloat16,
+    half_order: str = "ahat-a",
 ) -> PredNetParams:
     """Import a Chainer PredNet NPZ snapshot into complete native params.
 
@@ -88,7 +97,26 @@ def load_chainer_model(
     ``updater/model:main/...``) are stripped automatically.  Raises
     ``ValueError`` naming the first missing link when the file does not
     contain a recognizable PredNet for ``channels``.
+
+    ``half_order`` selects the E-unit half convention of the SNAPSHOT:
+      * ``"ahat-a"`` (default) — trained with E = [ReLU(Ahat-A),
+        ReLU(A-Ahat)], this package's native order: import as-is;
+      * ``"a-ahat"`` — trained with the opposite halves: the first and
+        second C-channel input blocks of every E-consuming conv (the
+        ``Wx*0`` gate slices and ``ConvA``) are swapped on import;
+      * ``"auto"`` — import both ways and keep the order whose open-loop
+        reconstruction of a static test frame is better
+        (:func:`detect_half_order`) — a trained snapshot reconstructs far
+        worse with scrambled E halves.
     """
+    if half_order == "auto":
+        half_order, _ = detect_half_order(path, channels)
+    if half_order not in ("ahat-a", "a-ahat"):
+        raise ValueError(
+            f"half_order must be 'ahat-a', 'a-ahat' or 'auto', "
+            f"got {half_order!r}"
+        )
+    swap_halves = half_order == "a-ahat"
     data = np.load(path, allow_pickle=True)
     keys = sorted(data.files)
     if keys and all(re.match(r"l\d+/", k) for k in keys):
@@ -192,6 +220,13 @@ def load_chainer_model(
             if wh is not None:
                 lstm_w[:, :, 2 * C : 3 * C, sl] = to_hwio(wh)
 
+        if swap_halves:
+            # snapshot trained with E = [ReLU(A-Ahat), ReLU(Ahat-A)]:
+            # reorder the E input blocks of the gate conv to native order
+            lstm_w[:, :, : 2 * C] = np.concatenate(
+                [lstm_w[:, :, C : 2 * C], lstm_w[:, :, :C]], axis=2
+            )
+
         layer = {
             "lstm_w": jnp.asarray(lstm_w, dtype),
             "lstm_b": jnp.asarray(lstm_b, dtype),
@@ -232,7 +267,13 @@ def load_chainer_model(
                     f"{list(channels)} (expected in={2 * C}, "
                     f"out={channels[l + 1]})"
                 )
-            layer["a_w"] = jnp.asarray(to_hwio(a_w), dtype)
+            a_w_hwio = to_hwio(a_w)
+            if swap_halves:
+                # ConvA consumes E too: swap its input halves likewise
+                a_w_hwio = np.concatenate(
+                    [a_w_hwio[:, :, C : 2 * C], a_w_hwio[:, :, :C]], axis=2
+                )
+            layer["a_w"] = jnp.asarray(a_w_hwio, dtype)
             a_b = get("a", l, "", "b", required=False)
             layer["a_b"] = jnp.asarray(
                 a_b
@@ -242,6 +283,49 @@ def load_chainer_model(
             )
         params.append(layer)
     return params
+
+
+def detect_half_order(path: str, channels: Sequence[int]):
+    """Decide a Chainer snapshot's E-unit half order empirically.
+
+    Imports the snapshot under both conventions and runs a short open-loop
+    rollout on a static test frame (smooth gradient + rings — trackable
+    structure in every channel).  A trained predictor reconstructs the
+    frame; with its E halves scrambled the gate convs see positive/negative
+    error swapped and reconstruction degrades sharply.  Returns
+    ``(best_order, {order: mean_abs_error})``.
+
+    Heuristic, so the errors are returned for inspection; ties within 2%
+    keep the native default (``"ahat-a"``).
+    """
+    from .model import rollout
+
+    c0 = channels[0]
+    L = len(channels)
+    side = 8 * (2 ** max(L - 1, 0))
+    h = w = max(side, 32)
+    yy, xx = np.meshgrid(
+        np.linspace(0, 1, h), np.linspace(0, 1, w), indexing="ij"
+    )
+    rr = np.hypot(yy - 0.5, xx - 0.5)
+    img = 0.5 + 0.25 * np.sin(2 * np.pi * 5 * rr) + 0.25 * (xx - 0.5)
+    frame = np.clip(img, 0.0, 1.0).astype(np.float32)
+    frame = np.repeat(frame[..., None], c0, axis=-1)[None]
+
+    errs = {}
+    for order in ("ahat-a", "a-ahat"):
+        params = load_chainer_model(
+            path, channels, dtype=jnp.float32, half_order=order
+        )
+        out = rollout(
+            params, jnp.asarray(frame), repeat=6, extension=0, collect=(5,)
+        )
+        pred = np.asarray(out["predictions"][5])
+        errs[order] = float(np.mean(np.abs(pred - frame)))
+    best = min(errs, key=errs.get)
+    if errs[best] > 0.98 * errs["ahat-a"]:
+        best = "ahat-a"
+    return best, errs
 
 
 def bundled_weights_path(channels: Sequence[int]) -> Optional[str]:
@@ -258,16 +342,21 @@ def load_or_init(
     channels: Sequence[int],
     seed: int = 0,
     dtype=jnp.bfloat16,
+    half_order: str = "ahat-a",
 ) -> PredNetParams:
     """Load a model file if given; else bundled stand-in weights for this
-    channel stack if shipped; else deterministic random init."""
+    channel stack if shipped; else deterministic random init.
+
+    ``half_order`` (``ahat-a``/``a-ahat``/``auto``) only affects Chainer
+    snapshot imports — see :func:`load_chainer_model`."""
     if path:
         if not os.path.exists(path):
             raise FileNotFoundError(path)
         try:
             return load_params(path, dtype)
         except ValueError:
-            return load_chainer_model(path, channels, dtype)
+            return load_chainer_model(path, channels, dtype,
+                                      half_order=half_order)
     bundled = bundled_weights_path(channels)
     if bundled:
         return load_params(bundled, dtype)

@@ -52,6 +52,10 @@ def pretrain(
     onset_hazard: float = 0.0,
     ring_speed_range=None,
     band_prob: float = 0.0,
+    onset_range=None,
+    closed_frames: int = 0,
+    closed_weight: float = 0.0,
+    edge_weight: float = 0.0,
 ):
     """Train a PredNet on synthetic motion; returns (params, final_loss).
 
@@ -65,10 +69,19 @@ def pretrain(
     params = init_params(key, channels)
     tx = optax.adam(lr)
     opt_state = init_opt_state(tx, params)
-    step_fn = make_train_step(tx, mesh=mesh)
+    # closed_frames > 0 extends each sequence by that many frames and
+    # supervises them CLOSED-loop (prednet_seq_loss) — the probe regime
+    T_total = T + closed_frames
+    step_fn = make_train_step(
+        tx, mesh=mesh, t_open=T if closed_frames else None,
+        closed_weight=closed_weight if closed_frames else 0.0,
+        edge_weight=edge_weight,
+    )
     if data == "v3":
         kwargs = {"cue_speed_range": tuple(cue_speed_range),
                   "max_onset": max_onset, "move_prob": move_prob}
+        if onset_range is not None:
+            kwargs["onset_range"] = tuple(onset_range)
         if cue_slow_range is not None:
             kwargs["cue_slow_range"] = tuple(cue_slow_range)
             kwargs["cue_slow_frac"] = cue_slow_frac
@@ -82,13 +95,14 @@ def pretrain(
             kwargs["regime_probs"] = tuple(regime_probs)
         data_fn = jax.jit(
             lambda k: synthetic_cue_batch(
-                k, batch, T, h, w, channels[0], max_speed=max_speed, **kwargs
+                k, batch, T_total, h, w, channels[0], max_speed=max_speed,
+                **kwargs
             )
         )
     elif data == "v2":
         data_fn = jax.jit(
             lambda k: synthetic_motion_batch(
-                k, batch, T, h, w, channels[0],
+                k, batch, T_total, h, w, channels[0],
                 max_speed=max_speed, static_fraction=static_fraction,
             )
         )
@@ -150,6 +164,19 @@ def main(argv: Optional[list] = None) -> int:
                    help="fraction of sawtooth sequences rendered as "
                         "banded wedge rings / spoke segments (the rated-"
                         "stimulus look) instead of dense ramps (v4 data)")
+    p.add_argument("--onset_range", default="",
+                   help="lo,hi integer window: sawtooth patterns hold "
+                        "static for a uniform prefix in [lo,hi] frames, "
+                        "then drift — pair with --closed_frames so the "
+                        "window straddles the open/closed boundary (v5)")
+    p.add_argument("--closed_frames", type=int, default=0,
+                   help="supervise this many extra CLOSED-loop frames per "
+                        "sequence (the probe regime; prednet_seq_loss)")
+    p.add_argument("--closed_weight", type=float, default=5.0,
+                   help="weight of the closed-loop L1 pixel term")
+    p.add_argument("--edge_weight", type=float, default=0.0,
+                   help="extra L1 on spatial finite differences of the "
+                        "closed-loop predictions (ramp-edge sharpening)")
     p.add_argument("--regime_probs", default="",
                    help="7 comma-separated regime probabilities "
                         "(texture-static, texture-moving, plain-rings, "
@@ -157,6 +184,9 @@ def main(argv: Optional[list] = None) -> int:
     p.add_argument("--out", default="")
     args = p.parse_args(argv)
 
+    from ...utils.compilation_cache import enable_compilation_cache
+
+    enable_compilation_cache()
     channels = [int(x) for x in args.channels.split(",")]
     params, loss = pretrain(
         channels,
@@ -180,6 +210,11 @@ def main(argv: Optional[list] = None) -> int:
         regime_probs=(tuple(float(x) for x in args.regime_probs.split(","))
                       if args.regime_probs else None),
         band_prob=args.band_prob,
+        onset_range=(tuple(int(x) for x in args.onset_range.split(","))
+                     if args.onset_range else None),
+        closed_frames=args.closed_frames,
+        closed_weight=args.closed_weight,
+        edge_weight=args.edge_weight,
     )
     out = args.out or f"prednet_{'_'.join(map(str, channels))}.npz"
     save_params(params, out)

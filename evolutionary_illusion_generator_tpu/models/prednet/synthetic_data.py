@@ -138,7 +138,8 @@ def _sym_rings(ph):
 
 def _phase_fields(key, T, h, w, speed_range=(0.5, 2.5), max_onset=0,
                   move_prob=1.0, slow_range=None, slow_frac=0.0,
-                  onset_hazard=0.0, ring_speed_range=None):
+                  onset_hazard=0.0, ring_speed_range=None,
+                  onset_range=None):
     """Per-regime phase fields u(t, y, x); value = ramp(u).
 
     Motion is toward the ramp direction for the asymmetric regimes (the
@@ -199,7 +200,22 @@ def _phase_fields(key, T, h, w, speed_range=(0.5, 2.5), max_onset=0,
     r = jnp.sqrt(xc**2 + yc**2) + 1e-6
     phi = jnp.arctan2(yc, xc)
     t = jnp.arange(T, dtype=jnp.float32)[:, None, None]
-    if onset_hazard > 0.0:
+    if onset_range is not None:
+        # v5 closed-boundary onset: the sawtooth holds STATIC for a prefix
+        # drawn uniformly from the integer window [lo, hi], then drifts.
+        # Paired with the closed-loop loss term (train.prednet_seq_loss,
+        # whose open/closed boundary the window straddles) this supervises
+        # the probe scenario itself: a static sawtooth history whose true
+        # continuation is slow coherent drift toward the ramp.  Plain rings
+        # are untouched (raw clock below) — the control stays always-fast.
+        lo, hi = onset_range
+        onset = jnp.floor(
+            jax.random.uniform(
+                ks[8], (), minval=float(lo), maxval=float(hi) + 1.0
+            )
+        )
+        t = jnp.maximum(t - onset, 0.0)
+    elif onset_hazard > 0.0:
         # geometric onset: floor(log(1-U)/log(1-p)), support {0, 1, ...};
         # onsets >= T leave the whole window static
         u = jax.random.uniform(ks[8], (), minval=1e-7, maxval=1.0 - 1e-7)
@@ -296,6 +312,7 @@ def synthetic_cue_batch(
     onset_hazard: float = 0.0,
     ring_speed_range=None,
     band_prob: float = 0.0,
+    onset_range=None,
 ):
     """(batch, T, h, w, c) float32 cue sequences (v3).
 
@@ -342,6 +359,7 @@ def synthetic_cue_batch(
         u_lin, u_tang, u_rad, u_rings, r, m_ring, m_spoke = _phase_fields(
             k_phase, T, h, w, cue_speed_range, max_onset, move_prob,
             cue_slow_range, cue_slow_frac, onset_hazard, ring_speed_range,
+            onset_range,
         )
         rise = jax.random.uniform(
             jax.random.fold_in(k_phase, 9), (), minval=0.7, maxval=0.9

@@ -18,7 +18,12 @@ import optax
 
 from .model import PredNetParams, init_state, prednet_step
 
-__all__ = ["prednet_loss", "make_train_step", "init_opt_state"]
+__all__ = [
+    "prednet_loss",
+    "prednet_seq_loss",
+    "make_train_step",
+    "init_opt_state",
+]
 
 
 def prednet_loss(
@@ -55,6 +60,78 @@ def prednet_loss(
     return jnp.mean(losses[start:])
 
 
+def _spatial_grads(x):
+    """Finite-difference spatial gradients of (B, H, W, C) images."""
+    gy = x[:, 1:, :, :] - x[:, :-1, :, :]
+    gx = x[:, :, 1:, :] - x[:, :, :-1, :]
+    return gy, gx
+
+
+def prednet_seq_loss(
+    params: PredNetParams,
+    frames,  # (B, T, H, W, C0) in [0, 1]
+    *,
+    t_open: int,
+    closed_weight: float = 5.0,
+    edge_weight: float = 0.0,
+    layer_weights: Optional[Sequence[float]] = None,
+):
+    """Open-loop E-loss + CLOSED-LOOP pixel supervision on the tail frames.
+
+    The fitness probe runs the predictor ``repeat`` open-loop steps then 2
+    CLOSED-loop extension steps and reads flow off the extension frame
+    (fitness_calculator.py:487-498) — a regime the plain Lotter E-objective
+    never supervises.  This loss trains it directly: frames[:, :t_open] run
+    open loop (weighted E-activity, as :func:`prednet_loss`), then the
+    model's own prediction is fed back for the remaining T - t_open steps
+    and each closed-loop prediction pays an L1 pixel loss against the true
+    continuation frame (optionally plus an L1 loss on spatial finite
+    differences, sharpening the ramp edges the LK tracker locks onto).
+
+    The closed-loop term is what lets onset curricula work: with the plain
+    E-objective an onset hedge is ~1e-4 of the loss and converges away
+    (measured, round 2); here the "static sawtooth history -> slow coherent
+    drift" continuation carries its own ``closed_weight``-scaled term.
+    """
+    B, T, H, W, C0 = frames.shape
+    channels = [p["ahat_w"].shape[2] for p in params]
+    L = len(channels)
+    if layer_weights is None:
+        layer_weights = [1.0] + [0.1] * (L - 1)
+    lw = jnp.asarray(layer_weights, jnp.float32)
+
+    state0 = init_state(B, H, W, channels, dtype=params[0]["lstm_w"].dtype)
+
+    def step_open(carry, frame):
+        state, _ = carry
+        state, pred = prednet_step(params, state, frame)
+        errs = jnp.stack(
+            [jnp.mean(state[l]["e"].astype(jnp.float32)) for l in range(L)]
+        )
+        return (state, pred), jnp.sum(errs * lw)
+
+    frames_t = jnp.moveaxis(frames, 0, 1)  # (T, B, H, W, C0)
+    (state, pred), open_losses = jax.lax.scan(
+        step_open, (state0, jnp.zeros((B, H, W, C0), jnp.float32)),
+        frames_t[:t_open],
+    )
+    open_loss = jnp.mean(open_losses[1:])  # skip the zero-state step
+
+    closed = 0.0
+    for t in range(t_open, T):
+        state, pred = prednet_step(params, state, pred)
+        target = frames_t[t].astype(jnp.float32)
+        closed = closed + jnp.mean(jnp.abs(pred - target))
+        if edge_weight > 0.0:
+            py, px = _spatial_grads(pred)
+            ty, tx_ = _spatial_grads(target)
+            closed = closed + edge_weight * (
+                jnp.mean(jnp.abs(py - ty)) + jnp.mean(jnp.abs(px - tx_))
+            )
+    closed = closed / max(T - t_open, 1)
+    return open_loss + closed_weight * closed
+
+
 def init_opt_state(tx: optax.GradientTransformation, params: PredNetParams):
     """Optimizer state over the f32 master copy of ``params``."""
     params32 = jax.tree.map(lambda p: p.astype(jnp.float32), params)
@@ -65,19 +142,35 @@ def make_train_step(
     tx: optax.GradientTransformation,
     *,
     mesh=None,
+    t_open: Optional[int] = None,
+    closed_weight: float = 0.0,
+    edge_weight: float = 0.0,
 ):
     """Build a jitted train step: (params, opt_state, frames) -> updated.
 
     With ``mesh`` given, the batch axis of ``frames`` is sharded over the
     mesh and params/opt state are replicated — the gradient all-reduce rides
     ICI via XLA's SPMD partitioner (no hand-written collectives).
+
+    With ``closed_weight > 0``, frames beyond ``t_open`` are supervised
+    closed-loop via :func:`prednet_seq_loss` (the probe-regime objective);
+    otherwise the plain open-loop E-objective is used.
     """
+    if closed_weight > 0.0:
+        if t_open is None:
+            raise ValueError("closed_weight > 0 requires t_open")
+        loss_fn = lambda p, f: prednet_seq_loss(  # noqa: E731
+            p, f, t_open=t_open, closed_weight=closed_weight,
+            edge_weight=edge_weight,
+        )
+    else:
+        loss_fn = prednet_loss
 
     def train_step(params, opt_state, frames):
         # master weights in f32 (bf16 is the inference dtype; JAX's conv
         # transpose rule requires uniform dtypes on the backward pass)
         params32 = jax.tree.map(lambda p: p.astype(jnp.float32), params)
-        loss, grads = jax.value_and_grad(prednet_loss)(params32, frames)
+        loss, grads = jax.value_and_grad(loss_fn)(params32, frames)
         updates, opt_state = tx.update(grads, opt_state, params32)
         params32 = optax.apply_updates(params32, updates)
         params = jax.tree.map(

@@ -294,3 +294,121 @@ def test_load_or_init_routes_model_files(tmp_path):
     path, _ = save_fixture(tmp_path)
     params = load_or_init(path, list(CHANNELS))
     assert "ahat_w" in params[0] and "w_ci" in params[0]
+
+
+# ---------------------------------------------------------------------------
+# E-unit half order: override + empirical detection
+
+
+def export_chainer_arrays(params, channels, swap_e_halves=False):
+    """Native fused params -> Chainer-layout OIHW arrays (test-local inverse
+    of load_chainer_model).  ``swap_e_halves=True`` writes the snapshot as
+    if it had been trained with E = [ReLU(A-Ahat), ReLU(Ahat-A)] — the
+    opposite half convention."""
+    arrays = {}
+    L = len(channels)
+
+    def to_oihw(w_hwio):
+        return np.ascontiguousarray(
+            np.transpose(np.asarray(w_hwio, np.float32), (3, 2, 0, 1))
+        )
+
+    def swap_in(w_hwio, C):
+        return np.concatenate(
+            [w_hwio[:, :, C : 2 * C], w_hwio[:, :, :C]], axis=2
+        )
+
+    for l in range(L):
+        C = channels[l]
+        c_above = channels[l + 1] if l + 1 < L else 0
+        lw = np.asarray(params[l]["lstm_w"], np.float32)
+        lb = np.asarray(params[l]["lstm_b"], np.float32)
+        for gi, g in enumerate(("i", "f", "o", "c")):
+            sl = slice(gi * C, (gi + 1) * C)
+            we = lw[:, :, : 2 * C, sl]
+            if swap_e_halves:
+                we = swap_in(we, C)
+            arrays[f"ConvLSTM{l}/Wx{g}0/W"] = to_oihw(we)
+            arrays[f"ConvLSTM{l}/Wx{g}0/b"] = lb[sl].copy()
+            arrays[f"ConvLSTM{l}/Wh{g}/W"] = to_oihw(lw[:, :, 2 * C : 3 * C, sl])
+            if c_above:
+                arrays[f"ConvLSTM{l}/Wx{g}1/W"] = to_oihw(lw[:, :, 3 * C :, sl])
+        arrays[f"ConvP{l}/W"] = to_oihw(params[l]["ahat_w"])
+        arrays[f"ConvP{l}/b"] = np.asarray(params[l]["ahat_b"], np.float32)
+        if c_above:
+            aw = np.asarray(params[l]["a_w"], np.float32)
+            if swap_e_halves:
+                aw = swap_in(aw, C)
+            arrays[f"ConvA{l}/W"] = to_oihw(aw)
+            arrays[f"ConvA{l}/b"] = np.asarray(params[l]["a_b"], np.float32)
+    return arrays
+
+
+@pytest.fixture(scope="module")
+def bundled_bw_params():
+    from evolutionary_illusion_generator_tpu.models.prednet.loader import (
+        bundled_weights_path,
+        load_params,
+    )
+
+    path = bundled_weights_path((1, 16, 32, 64))
+    if path is None:
+        pytest.skip("no bundled bw weights")
+    return load_params(path, dtype=jnp.float32)
+
+
+def _params_allclose(a, b, atol=1e-5):
+    for la, lb in zip(a, b):
+        assert sorted(la) == sorted(lb)
+        for k in la:
+            np.testing.assert_allclose(
+                np.asarray(la[k]), np.asarray(lb[k]), atol=atol, err_msg=k
+            )
+
+
+def test_half_order_override_roundtrip(tmp_path, bundled_bw_params):
+    """A snapshot written in the opposite E-half convention imports back to
+    the original params under half_order='a-ahat'."""
+    channels = (1, 16, 32, 64)
+    native = export_chainer_arrays(bundled_bw_params, channels)
+    flipped = export_chainer_arrays(bundled_bw_params, channels,
+                                    swap_e_halves=True)
+    p_native = str(tmp_path / "native.model")
+    p_flipped = str(tmp_path / "flipped.model")
+    np.savez(p_native + ".npz", **native)
+    np.savez(p_flipped + ".npz", **flipped)
+    import os
+
+    os.rename(p_native + ".npz", p_native)
+    os.rename(p_flipped + ".npz", p_flipped)
+
+    a = load_chainer_model(p_native, channels, dtype=jnp.float32)
+    _params_allclose(a, bundled_bw_params)
+    b = load_chainer_model(p_flipped, channels, dtype=jnp.float32,
+                           half_order="a-ahat")
+    _params_allclose(b, bundled_bw_params)
+    # loading the flipped snapshot in the native order must NOT match
+    with pytest.raises(AssertionError):
+        _params_allclose(
+            load_chainer_model(p_flipped, channels, dtype=jnp.float32),
+            bundled_bw_params,
+        )
+
+    from evolutionary_illusion_generator_tpu.models.prednet.loader import (
+        detect_half_order,
+    )
+
+    best_n, errs_n = detect_half_order(p_native, channels)
+    best_f, errs_f = detect_half_order(p_flipped, channels)
+    assert best_n == "ahat-a", errs_n
+    assert best_f == "a-ahat", errs_f
+    # half_order='auto' routes through detection
+    c = load_chainer_model(p_flipped, channels, dtype=jnp.float32,
+                           half_order="auto")
+    _params_allclose(c, bundled_bw_params)
+
+
+def test_half_order_rejects_unknown(tmp_path):
+    path, _ = save_fixture(tmp_path)
+    with pytest.raises(ValueError, match="half_order"):
+        load_chainer_model(path, CHANNELS, half_order="sideways")
