@@ -53,6 +53,7 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--pertype_count", default=1, type=int, help="renders per genome, fitness = mean over renders (reference latent-traversal machinery, generate_illusion.py:495-496)")
     parser.add_argument("--tensorboard", action="store_true", help="write TensorBoard scalars to <output_dir>/tensorboard beside metrics.jsonl")
     parser.add_argument("--chainer_half_order", default="ahat-a", choices=("ahat-a", "a-ahat", "auto"), help="E-unit half convention of an imported Chainer .model snapshot (auto = detect empirically)")
+    parser.add_argument("--debug_nans", action="store_true", help="sanitizer mode: raise at the first NaN-producing device op (slow; jax_debug_nans)")
     return parser
 
 
@@ -73,6 +74,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         pertype_count=args.pertype_count,
         tensorboard=args.tensorboard,
         chainer_half_order=args.chainer_half_order,
+        debug_nans=args.debug_nans,
     )
 
     if args.preset:

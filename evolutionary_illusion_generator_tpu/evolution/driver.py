@@ -84,6 +84,7 @@ def neat_illusion(
     n_devices: Optional[int] = None,
     profile_dir: Optional[str] = None,
     chainer_half_order: str = "ahat-a",
+    debug_nans: bool = False,
 ) -> Population:
     """Evolve illusions for up to ``generations`` generations.
 
@@ -116,6 +117,7 @@ def neat_illusion(
         score_on_device=score_on_device,
         use_pallas=use_pallas,
         microbatch=microbatch,
+        debug_nans=debug_nans,
     )
     if n_devices is not None and n_devices > 1:
         from ..parallel import ShardedGenerationEvaluator, make_mesh

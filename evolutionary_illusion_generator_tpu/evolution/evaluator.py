@@ -88,6 +88,11 @@ class EvalConfig:
     # NEAT where it silently poisons max/mean comparisons; disable to
     # reproduce that.
     nan_to_zero: bool = True
+    # Sanitizer mode: enable jax's NaN checker for the device program (every
+    # jitted computation re-runs un-jitted and raises on the FIRST NaN
+    # producer, with its source location).  Process-global (flips
+    # ``jax_debug_nans``) and slow — debugging only.
+    debug_nans: bool = False
     use_pallas: Union[bool, str] = False
     # predictor compute dtype: "bfloat16" halves the rollout's post-conv
     # bandwidth (the generation's dominant cost); "float32" for exact
@@ -170,6 +175,8 @@ class GenerationEvaluator:
     ) -> None:
         if cfg.equilum and cfg.c_dim != 3:
             raise ValueError("equiluminant rendering needs c_dim=3 (H,S,V nodes)")
+        if cfg.debug_nans:
+            jax.config.update("jax_debug_nans", True)
         self.cfg = cfg
         self.params = params
         self.neat_cfg = neat_cfg

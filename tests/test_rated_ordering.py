@@ -1,0 +1,105 @@
+"""Default-suite guard on the bundled predictors' rated-gallery ordering.
+
+The published predictor's fitness ordering on the 8 rated stimuli
+(illusions_rating/gorilla_data/2025/eigen_own_ratings.csv: control exactly
+0.0, every rated image well above it) is THE quality contract of the
+bundled stand-in weights.  The full probe needs a TPU-scale rollout
+(tests/test_rated_gallery_tpu.py, gated), so this guard scores CACHED
+probe vector sets (gallery/probe_vectors.npz, written by
+scripts/cache_probe_vectors.py) — milliseconds on CPU, in the default
+suite on every run.
+
+Staleness protection: the cache records the SHA-256 of each bundled
+weights file at generation time.  If the weights change without re-running
+the cache script, test_cache_matches_bundled_weights fails — a silent
+weights regression cannot ship behind a stale cache.
+"""
+
+import hashlib
+import os
+
+import numpy as np
+import pytest
+
+from evolutionary_illusion_generator_tpu.models.prednet.loader import (
+    bundled_weights_path,
+)
+from evolutionary_illusion_generator_tpu.ops.fitness.calculate import (
+    score_vectors,
+)
+from evolutionary_illusion_generator_tpu.structure import StructureType
+
+CACHE = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "gallery",
+    "probe_vectors.npz",
+)
+
+CIRCLES_FLOOR = 0.30  # weakest v4 rated-circles score was 0.314
+MANYFISH_FLOOR = 0.55  # v4: 0.630 (published 0.650)
+
+
+@pytest.fixture(scope="module")
+def cache():
+    if not os.path.exists(CACHE):
+        pytest.fail(
+            f"{CACHE} missing — run scripts/cache_probe_vectors.py "
+            f"(TPU or --cpu) to regenerate the ordering-guard cache"
+        )
+    return np.load(CACHE)
+
+
+def _names(cache):
+    return sorted(k[4:] for k in cache.files if k.startswith("vec/"))
+
+
+def test_cache_matches_bundled_weights(cache):
+    """A weights change must be accompanied by a cache regeneration."""
+    for channels in ((1, 16, 32, 64), (3, 48, 96, 192)):
+        path = bundled_weights_path(channels)
+        assert path is not None, f"bundled weights for {channels} missing"
+        h = hashlib.sha256()
+        with open(path, "rb") as f:
+            for chunk in iter(lambda: f.read(1 << 20), b""):
+                h.update(chunk)
+        key = "sha/" + "_".join(map(str, channels))
+        assert key in cache.files, f"cache lacks {key} — regenerate"
+        cached = bytes(cache[key].tobytes()).hex()
+        assert cached == h.hexdigest(), (
+            f"bundled weights {path} changed since the ordering cache was "
+            f"written — rerun scripts/cache_probe_vectors.py and re-check "
+            f"the published ordering"
+        )
+
+
+def test_scores_reproduce_from_cached_vectors(cache):
+    """The score recorded at cache time must reproduce from the vectors
+    (guards the metric library against drift, f64-exact)."""
+    for name in _names(cache):
+        structure, _published, recorded = cache[f"meta/{name}"]
+        got = score_vectors(
+            StructureType(int(structure)), cache[f"vec/{name}"], 160, 120
+        )
+        assert got == recorded, (name, got, recorded)
+
+
+def test_published_ordering_holds(cache):
+    scores = {}
+    for name in _names(cache):
+        structure, _published, recorded = cache[f"meta/{name}"]
+        scores[name] = float(recorded)
+
+    # the control scores exactly 0.0 — by the published predictor's own
+    # mechanism (its prediction drifts implausibly fast, so <24 vectors
+    # survive the plausibility gate)
+    assert scores["control"] == 0.0, scores
+    # every rated image scores strictly above the control
+    for name, s in scores.items():
+        if name != "control":
+            assert s > scores["control"], (name, scores)
+    # family floors (ratcheted to the current bundled generation)
+    for name, s in scores.items():
+        if name in ("manyfish", "control"):
+            continue
+        assert s >= CIRCLES_FLOOR, (name, s)
+    assert scores["manyfish"] >= MANYFISH_FLOOR, scores
