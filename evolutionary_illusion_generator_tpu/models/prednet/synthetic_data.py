@@ -280,10 +280,18 @@ def _phase_fields(key, T, h, w, speed_range=(0.5, 2.5), max_onset=0,
         ring_dir = jnp.sign(
             jax.random.uniform(jax.random.fold_in(ks[6], 2), ()) - 0.5
         )
-        # NOTE: uses the raw clock, not the onset-gated t — ring motion is
-        # never onset-delayed
-        t_raw = jnp.arange(T, dtype=jnp.float32)[:, None, None]
-        u_rings = (r[None] - ring_dir * ring_speed * t_raw) / ring_period
+        # v4 (no onset_range): raw clock — ring motion is never onset-
+        # delayed.  v5 (onset_range set): rings share the onset-gated
+        # clock, so "static ring history -> fast drift NOW" is itself in
+        # the training distribution — the closed-loop loss then supervises
+        # the control-zeroing mechanism directly (static sawtooth history
+        # gets slow coherent drift, static ring history implausibly fast
+        # drift), instead of relying on OOD transfer.
+        if onset_range is not None:
+            t_ring = t
+        else:
+            t_ring = jnp.arange(T, dtype=jnp.float32)[:, None, None]
+        u_rings = (r[None] - ring_dir * ring_speed * t_ring) / ring_period
     # static band masks for the rated-stimulus look (wedge rings separated
     # by white gaps / spoke segments): ring mask varies with r only, so it
     # is invariant under rotation; spoke mask varies with phi only, so it
