@@ -113,6 +113,11 @@ class EvalConfig:
     # generations since activation_mutate_rate quickly surfaces them all);
     # "all" always compiles the full 7-function stack (no recompiles ever).
     cppn_act_mode: str = "population"
+    # Exported-program cache: serialize the traced chunk program so warm
+    # process starts skip host retracing (the measured warm floor,
+    # BENCH_NOTES.md; utils/program_cache.py).  Best-effort — any
+    # export/deserialize failure silently falls back to plain jit.
+    program_cache: bool = True
 
 
 class GenerationOutputs:
@@ -263,11 +268,33 @@ class GenerationEvaluator:
 
         return eval_chunk
 
-    def _device_fn(self, pop_bucket: int, node_bucket: int):
+    def _device_fn(self, pop_bucket: int, node_bucket: int, example_args=None):
         key = (pop_bucket, node_bucket, self._act_set)
         if key not in self._jitted:
-            self._jitted[key] = jax.jit(self._build_run())
+            self._jitted[key] = self._finalize_fn(
+                jax.jit(self._build_run()), key, example_args
+            )
         return self._jitted[key]
+
+    def _finalize_fn(self, jitted, key, example_args):
+        """Back the jitted chunk program with the exported-program cache
+        (warm starts skip host retracing — utils/program_cache.py).
+        Skipped under ``debug_nans``: the NaN checker re-runs the traced
+        Python, which an exported artifact no longer has."""
+        cfg = self.cfg
+        if example_args is None or not cfg.program_cache or cfg.debug_nans:
+            return jitted
+        from ..utils.program_cache import cached_program
+
+        # everything program-shaping outside the input shapes/dtypes:
+        # subclass (sharding layout), buckets + activation set (key), the
+        # full frozen config (structure/grid/rollout/flow/dtype knobs)
+        return cached_program(
+            jitted,
+            (type(self).__name__, key, repr(cfg)),
+            example_args,
+            label="gen",
+        )
 
     # ------------------------------------------------------------------
 
@@ -318,12 +345,16 @@ class GenerationEvaluator:
                 for k, v in packed.items()
             }
 
-        fn = self._device_fn(chunk, (self._levels, self._width))
+        fn = None
         pieces = []
         for start in range(0, padded, chunk):
             part = {
                 k: jnp.asarray(v[start : start + chunk]) for k, v in packed.items()
             }
+            if fn is None:
+                fn = self._device_fn(
+                    chunk, (self._levels, self._width), (part, self.params)
+                )
             pieces.append(fn(part, self.params))
         return GenerationOutputs(pieces, chunk, n)
 

@@ -38,8 +38,14 @@ class ShardedGenerationEvaluator(GenerationEvaluator):
         # replicate frozen weights once
         self.params = jax.device_put(params, self._rep)
 
-    def _device_fn(self, pop_bucket: int, node_bucket: int):
-        key = ("sharded", pop_bucket, node_bucket, self._act_set)
+    def _device_fn(self, pop_bucket: int, node_bucket: int, example_args=None):
+        key = (
+            "sharded",
+            tuple(self.mesh.shape.items()),
+            pop_bucket,
+            node_bucket,
+            self._act_set,
+        )
         if key in self._jitted:
             return self._jitted[key]
         assert pop_bucket % self.mesh.devices.size == 0, (
@@ -63,5 +69,7 @@ class ShardedGenerationEvaluator(GenerationEvaluator):
             in_shardings=(packed_shard, self._rep),
             out_shardings=out_shard,
         )
-        self._jitted[key] = fn
-        return fn
+        # exported-program cache (warm starts skip retracing); the mesh
+        # layout is part of the key, shardings ride the exported module
+        self._jitted[key] = self._finalize_fn(fn, key, example_args)
+        return self._jitted[key]
