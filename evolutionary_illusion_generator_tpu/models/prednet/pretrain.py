@@ -17,6 +17,7 @@ import time
 from typing import Optional, Sequence
 
 import jax
+import jax.numpy as jnp
 import optax
 
 from .loader import save_params
@@ -56,6 +57,8 @@ def pretrain(
     closed_frames: int = 0,
     closed_weight: float = 0.0,
     edge_weight: float = 0.0,
+    ring_onset: bool = False,
+    closed_exclude_rings: bool = False,
 ):
     """Train a PredNet on synthetic motion; returns (params, final_loss).
 
@@ -70,16 +73,24 @@ def pretrain(
     tx = optax.adam(lr)
     opt_state = init_opt_state(tx, params)
     # closed_frames > 0 extends each sequence by that many frames and
-    # supervises them CLOSED-loop (prednet_seq_loss) — the probe regime
+    # supervises them CLOSED-loop (prednet_seq_loss) — the probe regime.
+    # closed_exclude_rings masks the closed term off the plain-ring regime
+    # (regime 2): closed L1 on fast symmetric rings is minimized by blur,
+    # which kills the fast-drift-on-rings control-zero mechanism (v5a/v5b
+    # probes, weights/README.md).
     T_total = T + closed_frames
+    masked = bool(closed_frames) and closed_exclude_rings
+    if masked and data != "v3":
+        raise ValueError("closed_exclude_rings needs the v3 regime data")
     step_fn = make_train_step(
         tx, mesh=mesh, t_open=T if closed_frames else None,
         closed_weight=closed_weight if closed_frames else 0.0,
-        edge_weight=edge_weight,
+        edge_weight=edge_weight, masked_closed=masked,
     )
     if data == "v3":
         kwargs = {"cue_speed_range": tuple(cue_speed_range),
-                  "max_onset": max_onset, "move_prob": move_prob}
+                  "max_onset": max_onset, "move_prob": move_prob,
+                  "ring_onset": ring_onset}
         if onset_range is not None:
             kwargs["onset_range"] = tuple(onset_range)
         if cue_slow_range is not None:
@@ -96,7 +107,7 @@ def pretrain(
         data_fn = jax.jit(
             lambda k: synthetic_cue_batch(
                 k, batch, T_total, h, w, channels[0], max_speed=max_speed,
-                **kwargs
+                return_regime=masked, **kwargs
             )
         )
     elif data == "v2":
@@ -113,8 +124,13 @@ def pretrain(
     t0 = time.time()
     for i in range(steps):
         key, k = jax.random.split(key)
-        frames = data_fn(k)
-        params, opt_state, loss = step_fn(params, opt_state, frames)
+        if masked:
+            frames, regimes = data_fn(k)
+            mask = (regimes != 2).astype(jnp.float32)  # rings open-loop only
+            params, opt_state, loss = step_fn(params, opt_state, frames, mask)
+        else:
+            frames = data_fn(k)
+            params, opt_state, loss = step_fn(params, opt_state, frames)
         if verbose and (i % log_every == 0 or i == steps - 1):
             print(
                 f"[pretrain] step {i:4d} loss {float(loss):.5f} "
@@ -177,6 +193,13 @@ def main(argv: Optional[list] = None) -> int:
     p.add_argument("--edge_weight", type=float, default=0.0,
                    help="extra L1 on spatial finite differences of the "
                         "closed-loop predictions (ramp-edge sharpening)")
+    p.add_argument("--ring_onset", action="store_true",
+                   help="onset-gate the plain-ring regime's clock too "
+                        "(v5b experiment; default: rings always move)")
+    p.add_argument("--closed_exclude_rings", action="store_true",
+                   help="mask the closed-loop loss off the plain-ring "
+                        "regime (keeps the fast-drift control-zero "
+                        "mechanism; see prednet_seq_loss)")
     p.add_argument("--regime_probs", default="",
                    help="7 comma-separated regime probabilities "
                         "(texture-static, texture-moving, plain-rings, "
@@ -215,6 +238,8 @@ def main(argv: Optional[list] = None) -> int:
         closed_frames=args.closed_frames,
         closed_weight=args.closed_weight,
         edge_weight=args.edge_weight,
+        ring_onset=args.ring_onset,
+        closed_exclude_rings=args.closed_exclude_rings,
     )
     out = args.out or f"prednet_{'_'.join(map(str, channels))}.npz"
     save_params(params, out)

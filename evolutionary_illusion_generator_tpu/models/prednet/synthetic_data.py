@@ -139,7 +139,7 @@ def _sym_rings(ph):
 def _phase_fields(key, T, h, w, speed_range=(0.5, 2.5), max_onset=0,
                   move_prob=1.0, slow_range=None, slow_frac=0.0,
                   onset_hazard=0.0, ring_speed_range=None,
-                  onset_range=None):
+                  onset_range=None, ring_onset=False):
     """Per-regime phase fields u(t, y, x); value = ramp(u).
 
     Motion is toward the ramp direction for the asymmetric regimes (the
@@ -280,14 +280,17 @@ def _phase_fields(key, T, h, w, speed_range=(0.5, 2.5), max_onset=0,
         ring_dir = jnp.sign(
             jax.random.uniform(jax.random.fold_in(ks[6], 2), ()) - 0.5
         )
-        # v4 (no onset_range): raw clock — ring motion is never onset-
-        # delayed.  v5 (onset_range set): rings share the onset-gated
-        # clock, so "static ring history -> fast drift NOW" is itself in
-        # the training distribution — the closed-loop loss then supervises
-        # the control-zeroing mechanism directly (static sawtooth history
-        # gets slow coherent drift, static ring history implausibly fast
-        # drift), instead of relying on OOD transfer.
-        if onset_range is not None:
+        # Default (ring_onset=False): raw clock — ring motion is never
+        # onset-delayed (v4 semantics: rings ALWAYS move, so a long static
+        # ring history is out-of-distribution and the converged prediction
+        # drifts fast — the control-zeroing mechanism).  ring_onset=True
+        # (v5b experiment) shares the onset-gated clock so "static ring
+        # history -> fast drift NOW" is itself in the training
+        # distribution; measured on the rated gallery it does NOT restore
+        # the control zero when the closed-loop loss also covers rings
+        # (control 0.237 with tiny drifts everywhere) — the closed L1
+        # pushes ring predictions toward blur/static.  Kept as a knob.
+        if ring_onset and onset_range is not None:
             t_ring = t
         else:
             t_ring = jnp.arange(T, dtype=jnp.float32)[:, None, None]
@@ -321,8 +324,14 @@ def synthetic_cue_batch(
     ring_speed_range=None,
     band_prob: float = 0.0,
     onset_range=None,
+    ring_onset: bool = False,
+    return_regime: bool = False,
 ):
     """(batch, T, h, w, c) float32 cue sequences (v3).
+
+    ``return_regime=True`` additionally returns the per-sequence regime
+    ids (batch,) int32 — used to mask training-loss terms by regime
+    (e.g. closed-loop supervision on cue regimes only).
 
     Regimes (sampled per-element with ``regime_probs``):
       0 smooth texture, static
@@ -367,7 +376,7 @@ def synthetic_cue_batch(
         u_lin, u_tang, u_rad, u_rings, r, m_ring, m_spoke = _phase_fields(
             k_phase, T, h, w, cue_speed_range, max_onset, move_prob,
             cue_slow_range, cue_slow_frac, onset_hazard, ring_speed_range,
-            onset_range,
+            onset_range, ring_onset,
         )
         rise = jax.random.uniform(
             jax.random.fold_in(k_phase, 9), (), minval=0.7, maxval=0.9
@@ -466,6 +475,9 @@ def synthetic_cue_batch(
         off = jax.random.uniform(
             jax.random.fold_in(k_con, 1), (), minval=0.0, maxval=0.3
         )
-        return jnp.clip(out * gain + off * (1 - gain), 0.0, 1.0)
+        return jnp.clip(out * gain + off * (1 - gain), 0.0, 1.0), regime
 
-    return jax.vmap(one)(jax.random.split(key, batch))
+    frames, regimes = jax.vmap(one)(jax.random.split(key, batch))
+    if return_regime:
+        return frames, regimes
+    return frames

@@ -75,6 +75,7 @@ def prednet_seq_loss(
     closed_weight: float = 5.0,
     edge_weight: float = 0.0,
     layer_weights: Optional[Sequence[float]] = None,
+    closed_mask=None,  # (B,) per-sequence closed-term weights (None = 1s)
 ):
     """Open-loop E-loss + CLOSED-LOOP pixel supervision on the tail frames.
 
@@ -92,6 +93,15 @@ def prednet_seq_loss(
     E-objective an onset hedge is ~1e-4 of the loss and converges away
     (measured, round 2); here the "static sawtooth history -> slow coherent
     drift" continuation carries its own ``closed_weight``-scaled term.
+
+    ``closed_mask`` weights the closed-loop term PER SEQUENCE (normalized
+    by the mask sum).  Rationale (measured, round 3): closed-loop L1 on
+    fast-moving symmetric rings is minimized by blur, which collapses the
+    predicted drift on control-like inputs to ~0 px and breaks the
+    published control-zero (v5a/v5b probes: control 0.237-0.239 with
+    m|d| ~= 0.04).  Masking rings out keeps them open-loop only — always
+    moving, so static ring history stays OOD and drifts fast — while cue
+    regimes keep the coherence-building closed supervision.
     """
     B, T, H, W, C0 = frames.shape
     channels = [p["ahat_w"].shape[2] for p in params]
@@ -117,16 +127,26 @@ def prednet_seq_loss(
     )
     open_loss = jnp.mean(open_losses[1:])  # skip the zero-state step
 
+    if closed_mask is None:
+        wseq = jnp.ones((B,), jnp.float32) / B
+    else:
+        m = closed_mask.astype(jnp.float32)
+        wseq = m / jnp.maximum(m.sum(), 1e-6)
+
+    def _wmean(x):  # (B, ...) -> masked scalar mean over sequences
+        per_seq = jnp.mean(x, axis=tuple(range(1, x.ndim)))
+        return jnp.sum(per_seq * wseq)
+
     closed = 0.0
     for t in range(t_open, T):
         state, pred = prednet_step(params, state, pred)
         target = frames_t[t].astype(jnp.float32)
-        closed = closed + jnp.mean(jnp.abs(pred - target))
+        closed = closed + _wmean(jnp.abs(pred - target))
         if edge_weight > 0.0:
             py, px = _spatial_grads(pred)
             ty, tx_ = _spatial_grads(target)
             closed = closed + edge_weight * (
-                jnp.mean(jnp.abs(py - ty)) + jnp.mean(jnp.abs(px - tx_))
+                _wmean(jnp.abs(py - ty)) + _wmean(jnp.abs(px - tx_))
             )
     closed = closed / max(T - t_open, 1)
     return open_loss + closed_weight * closed
@@ -145,6 +165,7 @@ def make_train_step(
     t_open: Optional[int] = None,
     closed_weight: float = 0.0,
     edge_weight: float = 0.0,
+    masked_closed: bool = False,
 ):
     """Build a jitted train step: (params, opt_state, frames) -> updated.
 
@@ -154,29 +175,41 @@ def make_train_step(
 
     With ``closed_weight > 0``, frames beyond ``t_open`` are supervised
     closed-loop via :func:`prednet_seq_loss` (the probe-regime objective);
-    otherwise the plain open-loop E-objective is used.
+    otherwise the plain open-loop E-objective is used.  ``masked_closed``
+    adds a fourth step argument — a (B,) per-sequence weight on the
+    closed-loop term (see :func:`prednet_seq_loss`).
     """
     if closed_weight > 0.0:
         if t_open is None:
             raise ValueError("closed_weight > 0 requires t_open")
-        loss_fn = lambda p, f: prednet_seq_loss(  # noqa: E731
+        loss_fn = lambda p, f, m=None: prednet_seq_loss(  # noqa: E731
             p, f, t_open=t_open, closed_weight=closed_weight,
-            edge_weight=edge_weight,
+            edge_weight=edge_weight, closed_mask=m,
         )
     else:
+        if masked_closed:
+            raise ValueError("masked_closed requires closed_weight > 0")
         loss_fn = prednet_loss
 
-    def train_step(params, opt_state, frames):
+    def _update(params, opt_state, frames, mask):
         # master weights in f32 (bf16 is the inference dtype; JAX's conv
         # transpose rule requires uniform dtypes on the backward pass)
         params32 = jax.tree.map(lambda p: p.astype(jnp.float32), params)
-        loss, grads = jax.value_and_grad(loss_fn)(params32, frames)
+        if mask is None:
+            loss, grads = jax.value_and_grad(loss_fn)(params32, frames)
+        else:
+            loss, grads = jax.value_and_grad(loss_fn)(params32, frames, mask)
         updates, opt_state = tx.update(grads, opt_state, params32)
         params32 = optax.apply_updates(params32, updates)
         params = jax.tree.map(
             lambda new, old: new.astype(old.dtype), params32, params
         )
         return params, opt_state, loss
+
+    if masked_closed:
+        train_step = lambda p, o, f, m: _update(p, o, f, m)  # noqa: E731
+    else:
+        train_step = lambda p, o, f: _update(p, o, f, None)  # noqa: E731
 
     if mesh is None:
         return jax.jit(train_step)
@@ -185,8 +218,9 @@ def make_train_step(
 
     rep = replicated_sharding(mesh)
     batch = population_sharding(mesh)
+    in_sh = (rep, rep, batch) + ((batch,) if masked_closed else ())
     return jax.jit(
         train_step,
-        in_shardings=(rep, rep, batch),
+        in_shardings=in_sh,
         out_shardings=(rep, rep, rep),
     )

@@ -139,3 +139,61 @@ def test_pretrain_reduces_loss():
     before = float(prednet_loss(init_params(jax.random.PRNGKey(0), (1, 4)), frames))
     after = float(prednet_loss(params, frames))
     assert after < before
+
+
+def test_return_regime_ids():
+    from evolutionary_illusion_generator_tpu.models.prednet.synthetic_data import (
+        synthetic_cue_batch,
+    )
+
+    frames, regimes = synthetic_cue_batch(
+        jax.random.PRNGKey(3), 16, 4, 24, 32, 1, return_regime=True
+    )
+    assert frames.shape == (16, 4, 24, 32, 1)
+    assert regimes.shape == (16,)
+    assert ((np.asarray(regimes) >= 0) & (np.asarray(regimes) <= 6)).all()
+    # same key without the flag: identical frames (regime sampling shared)
+    frames2 = synthetic_cue_batch(jax.random.PRNGKey(3), 16, 4, 24, 32, 1)
+    np.testing.assert_array_equal(np.asarray(frames), np.asarray(frames2))
+
+
+def test_closed_mask_zeroes_ring_contribution():
+    """A sequence masked out of the closed term must not affect the loss:
+    all-ones mask == None, and flipping a masked sequence's tail frames
+    leaves the masked loss unchanged."""
+    from evolutionary_illusion_generator_tpu.models.prednet import init_params
+    from evolutionary_illusion_generator_tpu.models.prednet.train import (
+        prednet_seq_loss,
+    )
+    import jax.numpy as jnp
+
+    params = init_params(jax.random.PRNGKey(0), (1, 4))
+    frames = jax.random.uniform(jax.random.PRNGKey(1), (3, 6, 24, 32, 1))
+    base = prednet_seq_loss(params, frames, t_open=4, closed_weight=5.0)
+    ones = prednet_seq_loss(
+        params, frames, t_open=4, closed_weight=5.0,
+        closed_mask=jnp.ones((3,)),
+    )
+    np.testing.assert_allclose(float(base), float(ones), rtol=1e-6)
+
+    mask = jnp.asarray([1.0, 0.0, 1.0])
+    m0 = prednet_seq_loss(
+        params, frames, t_open=4, closed_weight=5.0, closed_mask=mask
+    )
+    # perturb ONLY the masked sequence's closed-loop target frames: the
+    # closed term must ignore it (the open-loop prefix is untouched)
+    frames_p = frames.at[1, 4:].set(1.0 - frames[1, 4:])
+    m1 = prednet_seq_loss(
+        params, frames_p, t_open=4, closed_weight=5.0, closed_mask=mask
+    )
+    np.testing.assert_allclose(float(m0), float(m1), rtol=1e-6)
+
+
+def test_pretrain_masked_closed_smoke():
+    params, loss = pretrain(
+        (1, 4), steps=3, batch=4, T=4, h=24, w=32, verbose=False,
+        closed_frames=2, closed_weight=5.0, closed_exclude_rings=True,
+        regime_probs=(0, 0.25, 0.2, 0.15, 0.2, 0.2, 0),
+        onset_range=(2, 3), ring_speed_range=(1.0, 2.5),
+    )
+    assert np.isfinite(loss)
