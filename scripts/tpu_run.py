@@ -61,8 +61,12 @@ def run_once(cmd, log_path, stall_s):
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--log", required=True, help="combined stdout+stderr log")
-    p.add_argument("--stall", type=float, default=300.0,
-                   help="seconds of output silence before kill+retry")
+    p.add_argument("--stall", type=float, default=900.0,
+                   help="seconds of output silence before kill+retry. "
+                        "Must exceed the longest legitimate silent phase: "
+                        "cold remote compiles run >500 s with no output "
+                        "(measured), so anything below ~900 s turns a "
+                        "fresh compile into an infinite kill/retry loop")
     p.add_argument("--retries", type=int, default=4)
     p.add_argument("--cooldown", type=float, default=420.0,
                    help="seconds to wait after a stall before retrying "
