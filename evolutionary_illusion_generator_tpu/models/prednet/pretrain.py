@@ -59,6 +59,7 @@ def pretrain(
     edge_weight: float = 0.0,
     ring_onset: bool = False,
     closed_exclude_rings: bool = False,
+    ring_motion_weight: float = 0.0,
 ):
     """Train a PredNet on synthetic motion; returns (params, final_loss).
 
@@ -79,6 +80,8 @@ def pretrain(
     # which kills the fast-drift-on-rings control-zero mechanism (v5a/v5b
     # probes, weights/README.md).
     T_total = T + closed_frames
+    if ring_motion_weight > 0.0:
+        closed_exclude_rings = True  # the hinge replaces the ring L1
     masked = bool(closed_frames) and closed_exclude_rings
     if masked and data != "v3":
         raise ValueError("closed_exclude_rings needs the v3 regime data")
@@ -86,6 +89,7 @@ def pretrain(
         tx, mesh=mesh, t_open=T if closed_frames else None,
         closed_weight=closed_weight if closed_frames else 0.0,
         edge_weight=edge_weight, masked_closed=masked,
+        motion_weight=ring_motion_weight,
     )
     if data == "v3":
         kwargs = {"cue_speed_range": tuple(cue_speed_range),
@@ -200,6 +204,11 @@ def main(argv: Optional[list] = None) -> int:
                    help="mask the closed-loop loss off the plain-ring "
                         "regime (keeps the fast-drift control-zero "
                         "mechanism; see prednet_seq_loss)")
+    p.add_argument("--ring_motion_weight", type=float, default=0.0,
+                   help="closed-loop motion-energy hinge on ring "
+                        "sequences: predicted temporal change must not "
+                        "fall below the target's (anti-blur; implies "
+                        "--closed_exclude_rings)")
     p.add_argument("--regime_probs", default="",
                    help="7 comma-separated regime probabilities "
                         "(texture-static, texture-moving, plain-rings, "
@@ -240,6 +249,7 @@ def main(argv: Optional[list] = None) -> int:
         edge_weight=args.edge_weight,
         ring_onset=args.ring_onset,
         closed_exclude_rings=args.closed_exclude_rings,
+        ring_motion_weight=args.ring_motion_weight,
     )
     out = args.out or f"prednet_{'_'.join(map(str, channels))}.npz"
     save_params(params, out)

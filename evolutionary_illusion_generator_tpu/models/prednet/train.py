@@ -76,6 +76,8 @@ def prednet_seq_loss(
     edge_weight: float = 0.0,
     layer_weights: Optional[Sequence[float]] = None,
     closed_mask=None,  # (B,) per-sequence closed-term weights (None = 1s)
+    motion_weight: float = 0.0,
+    motion_mask=None,  # (B,) weights for the closed motion-energy hinge
 ):
     """Open-loop E-loss + CLOSED-LOOP pixel supervision on the tail frames.
 
@@ -102,6 +104,16 @@ def prednet_seq_loss(
     m|d| ~= 0.04).  Masking rings out keeps them open-loop only — always
     moving, so static ring history stays OOD and drifts fast — while cue
     regimes keep the coherence-building closed supervision.
+
+    ``motion_weight``/``motion_mask`` add a closed-loop MOTION-ENERGY
+    hinge on the masked sequences: per closed step, penalize the predicted
+    temporal change falling below the target's
+    (``relu(mean|Δtarget| - mean|Δpred|)``).  Rationale (measured v5c):
+    even with rings excluded from the closed L1, closed supervision on
+    cues alone makes the closed-loop dynamics globally contractive and
+    ring drift still collapses (control 0.245).  Blur/static predictions
+    CANNOT satisfy this hinge — it directly supervises "rings keep moving
+    in closed loop" without requiring phase accuracy.
     """
     B, T, H, W, C0 = frames.shape
     channels = [p["ahat_w"].shape[2] for p in params]
@@ -137,7 +149,18 @@ def prednet_seq_loss(
         per_seq = jnp.mean(x, axis=tuple(range(1, x.ndim)))
         return jnp.sum(per_seq * wseq)
 
+    if motion_weight > 0.0:
+        mm = (jnp.ones((B,), jnp.float32) if motion_mask is None
+              else motion_mask.astype(jnp.float32))
+        wmot = mm / jnp.maximum(mm.sum(), 1e-6)
+
+    def _seq_mean(x):  # (B, ...) -> (B,)
+        return jnp.mean(x, axis=tuple(range(1, x.ndim)))
+
     closed = 0.0
+    motion = 0.0
+    prev_pred = pred
+    prev_target = frames_t[t_open - 1].astype(jnp.float32)
     for t in range(t_open, T):
         state, pred = prednet_step(params, state, pred)
         target = frames_t[t].astype(jnp.float32)
@@ -148,8 +171,19 @@ def prednet_seq_loss(
             closed = closed + edge_weight * (
                 _wmean(jnp.abs(py - ty)) + _wmean(jnp.abs(px - tx_))
             )
-    closed = closed / max(T - t_open, 1)
-    return open_loss + closed_weight * closed
+        if motion_weight > 0.0:
+            dt_target = _seq_mean(jnp.abs(target - prev_target))
+            dt_pred = _seq_mean(jnp.abs(pred - prev_pred))
+            motion = motion + jnp.sum(
+                jax.nn.relu(dt_target - dt_pred) * wmot
+            )
+        prev_pred, prev_target = pred, target
+    n_closed = max(T - t_open, 1)
+    closed = closed / n_closed
+    loss = open_loss + closed_weight * closed
+    if motion_weight > 0.0:
+        loss = loss + motion_weight * motion / n_closed
+    return loss
 
 
 def init_opt_state(tx: optax.GradientTransformation, params: PredNetParams):
@@ -166,6 +200,7 @@ def make_train_step(
     closed_weight: float = 0.0,
     edge_weight: float = 0.0,
     masked_closed: bool = False,
+    motion_weight: float = 0.0,
 ):
     """Build a jitted train step: (params, opt_state, frames) -> updated.
 
@@ -177,14 +212,22 @@ def make_train_step(
     closed-loop via :func:`prednet_seq_loss` (the probe-regime objective);
     otherwise the plain open-loop E-objective is used.  ``masked_closed``
     adds a fourth step argument — a (B,) per-sequence weight on the
-    closed-loop term (see :func:`prednet_seq_loss`).
+    closed-loop term (see :func:`prednet_seq_loss`).  With
+    ``motion_weight > 0`` the COMPLEMENT of that mask gets the closed
+    motion-energy hinge (the masked-out sequences — rings — must keep
+    moving in closed loop instead of being merely unsupervised).
     """
     if closed_weight > 0.0:
         if t_open is None:
             raise ValueError("closed_weight > 0 requires t_open")
+        if motion_weight > 0.0 and not masked_closed:
+            raise ValueError("motion_weight requires masked_closed")
         loss_fn = lambda p, f, m=None: prednet_seq_loss(  # noqa: E731
             p, f, t_open=t_open, closed_weight=closed_weight,
             edge_weight=edge_weight, closed_mask=m,
+            motion_weight=motion_weight,
+            motion_mask=(None if m is None or motion_weight <= 0.0
+                         else 1.0 - m),
         )
     else:
         if masked_closed:

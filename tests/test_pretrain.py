@@ -189,6 +189,82 @@ def test_closed_mask_zeroes_ring_contribution():
     np.testing.assert_allclose(float(m0), float(m1), rtol=1e-6)
 
 
+def test_motion_hinge_is_nonnegative_and_linear():
+    """The closed motion-energy hinge only ever ADDS loss, scales linearly
+    in motion_weight, and vanishes when the motion mask is all-zero."""
+    from evolutionary_illusion_generator_tpu.models.prednet import init_params
+    from evolutionary_illusion_generator_tpu.models.prednet.train import (
+        prednet_seq_loss,
+    )
+    import jax.numpy as jnp
+
+    params = init_params(jax.random.PRNGKey(0), (1, 4))
+    frames = jax.random.uniform(jax.random.PRNGKey(2), (3, 6, 24, 32, 1))
+    kw = dict(t_open=4, closed_weight=5.0)
+    base = float(prednet_seq_loss(params, frames, **kw))
+    m1 = float(
+        prednet_seq_loss(params, frames, motion_weight=1.0, **kw)
+    )
+    m2 = float(
+        prednet_seq_loss(params, frames, motion_weight=2.0, **kw)
+    )
+    # untrained net on moving targets: hinge strictly positive
+    assert m1 > base
+    np.testing.assert_allclose(m2 - m1, m1 - base, rtol=1e-4)
+
+    z = float(
+        prednet_seq_loss(
+            params, frames, motion_weight=1.0,
+            motion_mask=jnp.zeros((3,)), **kw
+        )
+    )
+    np.testing.assert_allclose(z, base, rtol=1e-6)
+
+
+def test_motion_hinge_mask_selects_sequences():
+    """Only sequences weighted by motion_mask contribute to the hinge:
+    perturbing an excluded sequence's closed targets leaves the hinge
+    delta unchanged."""
+    from evolutionary_illusion_generator_tpu.models.prednet import init_params
+    from evolutionary_illusion_generator_tpu.models.prednet.train import (
+        prednet_seq_loss,
+    )
+    import jax.numpy as jnp
+
+    params = init_params(jax.random.PRNGKey(0), (1, 4))
+    frames = jax.random.uniform(jax.random.PRNGKey(3), (3, 6, 24, 32, 1))
+    mask = jnp.asarray([0.0, 1.0, 0.0])  # hinge watches seq 1 only
+    kw = dict(t_open=4, closed_weight=0.0)
+
+    def hinge(fr):
+        with_h = prednet_seq_loss(
+            params, fr, motion_weight=1.0, motion_mask=mask, **kw
+        )
+        without = prednet_seq_loss(params, fr, **kw)
+        return float(with_h) - float(without)
+
+    h0 = hinge(frames)
+    # freeze seq-0's closed tail (a hinge-visible change IF seq 0 counted)
+    frames_p = frames.at[0, 4:].set(frames[0, 3])
+    h1 = hinge(frames_p)
+    np.testing.assert_allclose(h0, h1, rtol=1e-5)
+    # freezing the WATCHED sequence's tail kills its target motion, so
+    # the hinge on it can only shrink
+    frames_w = frames.at[1, 4:].set(frames[1, 3])
+    h2 = hinge(frames_w)
+    assert h2 <= h0 + 1e-7
+
+
+def test_pretrain_ring_motion_smoke():
+    params, loss = pretrain(
+        (1, 4), steps=3, batch=4, T=4, h=24, w=32, verbose=False,
+        closed_frames=2, closed_weight=5.0, ring_motion_weight=3.0,
+        regime_probs=(0, 0.25, 0.2, 0.15, 0.2, 0.2, 0),
+        onset_range=(2, 3), ring_speed_range=(1.0, 2.5),
+    )
+    assert np.isfinite(loss)
+
+
 def test_pretrain_masked_closed_smoke():
     params, loss = pretrain(
         (1, 4), steps=3, batch=4, T=4, h=24, w=32, verbose=False,
