@@ -90,6 +90,9 @@ def measure_generation(pop, reps, backend_note=""):
         # BENCH_PALLAS: 0 = XLA chain, 1 = fused gate kernel,
         # 2 = fully-fused ConvLSTM layer kernel ("fused")
         use_pallas=_parse_bench_pallas(os.environ.get("BENCH_PALLAS", "0")),
+        # BENCH_SUBPIXEL=1: coarse-resolution parity decomposition of the
+        # top-down upsample+conv (EvalConfig.subpixel_up)
+        subpixel_up=os.environ.get("BENCH_SUBPIXEL", "0") == "1",
         microbatch=MICROBATCH,
     )
     evaluator = GenerationEvaluator(cfg, params, neat_cfg)

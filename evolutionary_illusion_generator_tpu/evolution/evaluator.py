@@ -94,6 +94,11 @@ class EvalConfig:
     # ``jax_debug_nans``) and slow — debugging only.
     debug_nans: bool = False
     use_pallas: Union[bool, str] = False
+    # Top-down conv(upsample2(R_above)) as four parity 2x2 convs at the
+    # coarse resolution (models/prednet/model.py::_upconv_subpixel): 4/9
+    # the FLOPs of that conv and no upsampled intermediate in HBM, at
+    # bf16-rounding-level numeric drift.
+    subpixel_up: bool = False
     # predictor compute dtype: "bfloat16" halves the rollout's post-conv
     # bandwidth (the generation's dominant cost); "float32" for exact
     # predictor numerics
@@ -247,6 +252,7 @@ class GenerationEvaluator:
                 pair="population",
                 use_pallas=cfg.use_pallas,
                 compute_dtype=jnp.dtype(cfg.prednet_dtype),
+                subpixel_up=cfg.subpixel_up,
             )
             vectors, vmask = batched_flow(f0, f1, cfg.flow)
             out = {

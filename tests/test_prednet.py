@@ -142,3 +142,35 @@ class TestPeephole:
             - np.asarray(s3[1]["r"], dtype=np.float32)
         ).max()
         assert diff > 0
+
+
+class TestSubpixelUpconv:
+    def test_matches_naive_upsample_conv_f32(self):
+        """_upconv_subpixel == conv3x3(NN-up2(x)) exactly (f32 weights)."""
+        from evolutionary_illusion_generator_tpu.models.prednet.model import (
+            _conv_nobias,
+            _upconv_subpixel,
+            _upsample2,
+        )
+
+        k1, k2 = jax.random.split(jax.random.PRNGKey(7))
+        x = jax.random.normal(k1, (2, 6, 10, 5), jnp.float32)
+        w = jax.random.normal(k2, (3, 3, 5, 12), jnp.float32)
+        ref = _conv_nobias(_upsample2(x), w, jnp.float32)
+        got = _upconv_subpixel(x, w, jnp.float32)
+        assert got.shape == ref.shape == (2, 12, 20, 12)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5
+        )
+
+    def test_rollout_parity(self, params, images):
+        """subpixel_up only changes tap-summation order: rollout outputs
+        agree to bf16-rounding tolerance."""
+        a = rollout_flow_frames(params, images, repeat=4, extension=2)
+        b = rollout_flow_frames(
+            params, images, repeat=4, extension=2, subpixel_up=True
+        )
+        for u, v in zip(a, b):
+            np.testing.assert_allclose(
+                np.asarray(u), np.asarray(v), rtol=0.05, atol=0.02
+            )
