@@ -60,6 +60,9 @@ def pretrain(
     ring_onset: bool = False,
     closed_exclude_rings: bool = False,
     ring_motion_weight: float = 0.0,
+    ring_dir_cue: bool = False,
+    ring_onset_range=None,
+    ring_mask_prefix: bool = False,
 ):
     """Train a PredNet on synthetic motion; returns (params, final_loss).
 
@@ -85,16 +88,29 @@ def pretrain(
     masked = bool(closed_frames) and closed_exclude_rings
     if masked and data != "v3":
         raise ValueError("closed_exclude_rings needs the v3 regime data")
+    # ring_mask_prefix excludes ring sequences' static-prefix frames from
+    # the open-loop E-loss (see train.prednet_seq_loss): the onset
+    # curriculum must not teach "copy static rings" while it teaches
+    # "static ring history -> fast drift" on the post-onset frames.
+    if ring_mask_prefix and not (masked and (ring_onset_range or ring_onset)):
+        raise ValueError(
+            "ring_mask_prefix needs closed_frames, a ring-loss mask and a "
+            "ring onset window"
+        )
     step_fn = make_train_step(
         tx, mesh=mesh, t_open=T if closed_frames else None,
         closed_weight=closed_weight if closed_frames else 0.0,
         edge_weight=edge_weight, masked_closed=masked,
         motion_weight=ring_motion_weight,
+        masked_open=ring_mask_prefix,
     )
     if data == "v3":
         kwargs = {"cue_speed_range": tuple(cue_speed_range),
                   "max_onset": max_onset, "move_prob": move_prob,
-                  "ring_onset": ring_onset}
+                  "ring_onset": ring_onset,
+                  "ring_dir_cue": ring_dir_cue}
+        if ring_onset_range is not None:
+            kwargs["ring_onset_range"] = tuple(ring_onset_range)
         if onset_range is not None:
             kwargs["onset_range"] = tuple(onset_range)
         if cue_slow_range is not None:
@@ -129,9 +145,22 @@ def pretrain(
     for i in range(steps):
         key, k = jax.random.split(key)
         if masked:
-            frames, regimes = data_fn(k)
+            frames, regimes, onsets = data_fn(k)
             mask = (regimes != 2).astype(jnp.float32)  # rings open-loop only
-            params, opt_state, loss = step_fn(params, opt_state, frames, mask)
+            if ring_mask_prefix:
+                t_idx = jnp.arange(T, dtype=jnp.float32)[None, :]
+                prefix = (
+                    (t_idx < onsets[:, None])
+                    & (regimes == 2)[:, None]
+                )
+                open_mask = 1.0 - prefix.astype(jnp.float32)
+                params, opt_state, loss = step_fn(
+                    params, opt_state, frames, mask, open_mask
+                )
+            else:
+                params, opt_state, loss = step_fn(
+                    params, opt_state, frames, mask
+                )
         else:
             frames = data_fn(k)
             params, opt_state, loss = step_fn(params, opt_state, frames)
@@ -209,6 +238,21 @@ def main(argv: Optional[list] = None) -> int:
                         "sequences: predicted temporal change must not "
                         "fall below the target's (anti-blur; implies "
                         "--closed_exclude_rings)")
+    p.add_argument("--ring_dir_cue", action="store_true",
+                   help="tie the ring drift direction to the ring duty "
+                        "cycle (duty > 0.5 expands, < 0.5 contracts): "
+                        "removes the direction ambiguity that makes blur "
+                        "the optimal static-ring-history prediction (v5e)")
+    p.add_argument("--ring_onset_range", default="",
+                   help="lo,hi integer window: RING sequences hold static "
+                        "for a uniform prefix then drift fast — their own "
+                        "window, shorter than --onset_range, so the "
+                        "post-onset frames are graded open-loop (v5e)")
+    p.add_argument("--ring_mask_prefix", action="store_true",
+                   help="exclude ring static-prefix frames from the "
+                        "open-loop E-loss so the onset curriculum never "
+                        "teaches 'copy static rings' (v5e; needs "
+                        "--ring_onset_range and --closed_frames)")
     p.add_argument("--regime_probs", default="",
                    help="7 comma-separated regime probabilities "
                         "(texture-static, texture-moving, plain-rings, "
@@ -250,6 +294,12 @@ def main(argv: Optional[list] = None) -> int:
         ring_onset=args.ring_onset,
         closed_exclude_rings=args.closed_exclude_rings,
         ring_motion_weight=args.ring_motion_weight,
+        ring_dir_cue=args.ring_dir_cue,
+        ring_onset_range=(
+            tuple(int(x) for x in args.ring_onset_range.split(","))
+            if args.ring_onset_range else None
+        ),
+        ring_mask_prefix=args.ring_mask_prefix,
     )
     out = args.out or f"prednet_{'_'.join(map(str, channels))}.npz"
     save_params(params, out)

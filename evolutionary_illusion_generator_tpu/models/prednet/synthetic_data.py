@@ -130,16 +130,22 @@ def _asym_ramp(ph, rise: float = 0.8):
     return jnp.where(ph < rise, ph / rise, (1.0 - ph) / (1.0 - rise))
 
 
-def _sym_rings(ph):
-    """Symmetric square-ish ring profile (control-like): no ramp asymmetry."""
+def _sym_rings(ph, duty=0.5):
+    """Symmetric square-ish ring profile (control-like): no ramp asymmetry.
+
+    ``duty`` is the bright fraction of each ring period; with
+    ``ring_dir_cue`` it doubles as the appearance cue that determines the
+    drift direction (see :func:`_phase_fields`).
+    """
     ph = ph - jnp.floor(ph)
-    return (ph < 0.5).astype(jnp.float32)
+    return (ph < duty).astype(jnp.float32)
 
 
 def _phase_fields(key, T, h, w, speed_range=(0.5, 2.5), max_onset=0,
                   move_prob=1.0, slow_range=None, slow_frac=0.0,
                   onset_hazard=0.0, ring_speed_range=None,
-                  onset_range=None, ring_onset=False):
+                  onset_range=None, ring_onset=False, ring_dir_cue=False,
+                  ring_onset_range=None):
     """Per-regime phase fields u(t, y, x); value = ramp(u).
 
     Motion is toward the ramp direction for the asymmetric regimes (the
@@ -189,6 +195,7 @@ def _phase_fields(key, T, h, w, speed_range=(0.5, 2.5), max_onset=0,
     ``1-(1-p)^T`` fraction that does move.
     """
     ks = jax.random.split(key, 9)
+    onset = jnp.asarray(0.0, jnp.float32)
     yy, xx = jnp.meshgrid(
         jnp.arange(h, dtype=jnp.float32), jnp.arange(w, dtype=jnp.float32),
         indexing="ij",
@@ -264,9 +271,33 @@ def _phase_fields(key, T, h, w, speed_range=(0.5, 2.5), max_onset=0,
         2 * jnp.pi
     )
     u_radial = (r[None] - speed * t) / period
+    # ring duty cycle (bright fraction of each ring period).  With
+    # ring_dir_cue the duty is sampled AWAY from 0.5 and determines the
+    # radial drift direction (duty > 0.5 -> expand, < 0.5 -> contract):
+    # measured v5d, a RANDOM ring direction makes blur the L1/E-optimal
+    # response to a static ring history (the median of {expand, contract}
+    # is no motion), which collapses the probe drift on control-like
+    # inputs to ~0.1 px and breaks the published control-zero.  Tying the
+    # direction to a visible appearance parameter removes the ambiguity:
+    # fast coherent drift becomes the optimal static-history prediction
+    # for ANY ring-like input (the rated control maps to some duty and
+    # drifts fast in that duty's direction — over the plausibility gate
+    # either way).
+    if ring_dir_cue:
+        cue_side = jnp.sign(
+            jax.random.uniform(jax.random.fold_in(ks[7], 1), ()) - 0.5
+        )
+        cue_mag = jax.random.uniform(
+            jax.random.fold_in(ks[7], 2), (), minval=0.08, maxval=0.30
+        )
+        ring_duty = 0.5 + cue_side * cue_mag
+    else:
+        cue_side = None
+        ring_duty = jnp.asarray(0.5, jnp.float32)
     if ring_speed_range is None:
         # control-like plain rings, STATIC (the v3 settling pressure)
         u_rings = jnp.broadcast_to(r[None] / ring_period, (T, h, w))
+        ring_onset_val = jnp.asarray(0.0, jnp.float32)
     else:
         # plain rings in FAST unpredictable radial motion (v4, FPSI-like):
         # symmetric appearance carries no direction cue, so the converged
@@ -277,9 +308,12 @@ def _phase_fields(key, T, h, w, speed_range=(0.5, 2.5), max_onset=0,
             jax.random.fold_in(ks[6], 1), (),
             minval=ring_speed_range[0], maxval=ring_speed_range[1],
         )
-        ring_dir = jnp.sign(
-            jax.random.uniform(jax.random.fold_in(ks[6], 2), ()) - 0.5
-        )
+        if ring_dir_cue:
+            ring_dir = cue_side  # appearance-determined (see ring_duty)
+        else:
+            ring_dir = jnp.sign(
+                jax.random.uniform(jax.random.fold_in(ks[6], 2), ()) - 0.5
+            )
         # Default (ring_onset=False): raw clock — ring motion is never
         # onset-delayed (v4 semantics: rings ALWAYS move, so a long static
         # ring history is out-of-distribution and the converged prediction
@@ -290,10 +324,30 @@ def _phase_fields(key, T, h, w, speed_range=(0.5, 2.5), max_onset=0,
         # the control zero when the closed-loop loss also covers rings
         # (control 0.237 with tiny drifts everywhere) — the closed L1
         # pushes ring predictions toward blur/static.  Kept as a knob.
-        if ring_onset and onset_range is not None:
+        t_raw = jnp.arange(T, dtype=jnp.float32)[:, None, None]
+        if ring_onset_range is not None:
+            # v5e: rings hold static for their OWN uniform onset window
+            # (shorter than the cue window, so the post-onset fast frames
+            # land in the OPEN region where they are graded), then drift
+            # fast in the duty-cued direction.  Paired with prefix loss
+            # masking (pretrain ring_mask_prefix) this supervises the
+            # probe's control scenario directly: static ring history ->
+            # fast drift NOW, with no competing "copy static rings"
+            # gradient from the prefix frames.
+            rlo, rhi = ring_onset_range
+            ring_onset_val = jnp.floor(
+                jax.random.uniform(
+                    jax.random.fold_in(ks[8], 3), (),
+                    minval=float(rlo), maxval=float(rhi) + 1.0,
+                )
+            )
+            t_ring = jnp.maximum(t_raw - ring_onset_val, 0.0)
+        elif ring_onset and onset_range is not None:
             t_ring = t
+            ring_onset_val = onset
         else:
-            t_ring = jnp.arange(T, dtype=jnp.float32)[:, None, None]
+            t_ring = t_raw
+            ring_onset_val = jnp.asarray(0.0, jnp.float32)
         u_rings = (r[None] - ring_dir * ring_speed * t_ring) / ring_period
     # static band masks for the rated-stimulus look (wedge rings separated
     # by white gaps / spoke segments): ring mask varies with r only, so it
@@ -303,7 +357,8 @@ def _phase_fields(key, T, h, w, speed_range=(0.5, 2.5), max_onset=0,
     mask_ring = u_ring_static - jnp.floor(u_ring_static)  # in [0,1)
     mask_spoke = phi * n_seg / (2 * jnp.pi)
     mask_spoke = mask_spoke - jnp.floor(mask_spoke)
-    return u_linear, u_tang, u_radial, u_rings, r, mask_ring, mask_spoke
+    return (u_linear, u_tang, u_radial, u_rings, r, mask_ring, mask_spoke,
+            ring_duty, onset, ring_onset_val)
 
 
 def synthetic_cue_batch(
@@ -325,13 +380,18 @@ def synthetic_cue_batch(
     band_prob: float = 0.0,
     onset_range=None,
     ring_onset: bool = False,
+    ring_dir_cue: bool = False,
+    ring_onset_range=None,
     return_regime: bool = False,
 ):
     """(batch, T, h, w, c) float32 cue sequences (v3).
 
     ``return_regime=True`` additionally returns the per-sequence regime
-    ids (batch,) int32 — used to mask training-loss terms by regime
-    (e.g. closed-loop supervision on cue regimes only).
+    ids (batch,) int32 and motion-onset frames (batch,) float32 — used to
+    mask training-loss terms by regime and by pre-onset frame
+    (e.g. closed-loop supervision on cue regimes only, or excluding the
+    static ring prefix from the open-loop loss so "static rings" is never
+    itself a supervised target).
 
     Regimes (sampled per-element with ``regime_probs``):
       0 smooth texture, static
@@ -373,10 +433,11 @@ def synthetic_cue_batch(
         )  # (T, h, w, c)
 
         # -- analytic phase-field branches -------------------------------
-        u_lin, u_tang, u_rad, u_rings, r, m_ring, m_spoke = _phase_fields(
+        (u_lin, u_tang, u_rad, u_rings, r, m_ring, m_spoke, ring_duty,
+         onset, ring_onset_val) = _phase_fields(
             k_phase, T, h, w, cue_speed_range, max_onset, move_prob,
             cue_slow_range, cue_slow_frac, onset_hazard, ring_speed_range,
-            onset_range, ring_onset,
+            onset_range, ring_onset, ring_dir_cue, ring_onset_range,
         )
         rise = jax.random.uniform(
             jax.random.fold_in(k_phase, 9), (), minval=0.7, maxval=0.9
@@ -413,14 +474,17 @@ def synthetic_cue_batch(
             # asymmetric ramps -> slow, coherent)
             tri_spoke = 1.0 - jnp.abs(2.0 * m_spoke - 1.0)  # (h, w)
             ring_phase = u_rings - jnp.floor(u_rings)  # moving bands
-            duty_r = jax.random.uniform(
-                jax.random.fold_in(k_phase, 13), (), minval=0.55,
-                maxval=0.85,
-            )
+            if ring_dir_cue:
+                duty_r = ring_duty  # the duty IS the direction cue
+            else:
+                duty_r = jax.random.uniform(
+                    jax.random.fold_in(k_phase, 13), (), minval=0.55,
+                    maxval=0.85,
+                )
             keep = (ring_phase < duty_r).astype(jnp.float32)
             f_rings = tri_spoke[None] * keep + (1.0 - keep)
         else:
-            f_rings = _sym_rings(u_rings)
+            f_rings = _sym_rings(u_rings, ring_duty)
         fields = jnp.stack(
             [
                 _asym_ramp(u_lin, rise),
@@ -475,9 +539,14 @@ def synthetic_cue_batch(
         off = jax.random.uniform(
             jax.random.fold_in(k_con, 1), (), minval=0.0, maxval=0.3
         )
-        return jnp.clip(out * gain + off * (1 - gain), 0.0, 1.0), regime
+        # per-sequence motion onset for loss masking: the ring regime
+        # follows its own (possibly zero) onset clock, the sawtooth
+        # regimes the shared onset-gated clock
+        eff_onset = jnp.where(regime == 2, ring_onset_val, onset)
+        return (jnp.clip(out * gain + off * (1 - gain), 0.0, 1.0), regime,
+                eff_onset)
 
-    frames, regimes = jax.vmap(one)(jax.random.split(key, batch))
+    frames, regimes, onsets = jax.vmap(one)(jax.random.split(key, batch))
     if return_regime:
-        return frames, regimes
+        return frames, regimes, onsets
     return frames

@@ -78,6 +78,7 @@ def prednet_seq_loss(
     closed_mask=None,  # (B,) per-sequence closed-term weights (None = 1s)
     motion_weight: float = 0.0,
     motion_mask=None,  # (B,) weights for the closed motion-energy hinge
+    open_mask=None,  # (B, t_open) per-frame open-loop loss weights
 ):
     """Open-loop E-loss + CLOSED-LOOP pixel supervision on the tail frames.
 
@@ -114,6 +115,15 @@ def prednet_seq_loss(
     ring drift still collapses (control 0.245).  Blur/static predictions
     CANNOT satisfy this hinge — it directly supervises "rings keep moving
     in closed loop" without requiring phase accuracy.
+
+    ``open_mask`` (B, t_open) weights the OPEN-loop E-term per sequence
+    and frame.  Rationale (measured v5e): an onset curriculum on ring
+    sequences necessarily contains static-prefix frames whose E-loss
+    supervises "static ring history -> stay static" — the exact copy
+    gradient that collapses the control drift.  Masking the prefix out
+    leaves rings graded only where the truth is fast motion, so the
+    static-history prediction for ring appearance is trained toward
+    drift, never toward copy.
     """
     B, T, H, W, C0 = frames.shape
     channels = [p["ahat_w"].shape[2] for p in params]
@@ -128,16 +138,22 @@ def prednet_seq_loss(
         state, _ = carry
         state, pred = prednet_step(params, state, frame)
         errs = jnp.stack(
-            [jnp.mean(state[l]["e"].astype(jnp.float32)) for l in range(L)]
-        )
-        return (state, pred), jnp.sum(errs * lw)
+            [jnp.mean(state[l]["e"].astype(jnp.float32), axis=(1, 2, 3))
+             for l in range(L)]
+        )  # (L, B)
+        return (state, pred), jnp.sum(errs * lw[:, None], axis=0)
 
     frames_t = jnp.moveaxis(frames, 0, 1)  # (T, B, H, W, C0)
     (state, pred), open_losses = jax.lax.scan(
         step_open, (state0, jnp.zeros((B, H, W, C0), jnp.float32)),
         frames_t[:t_open],
-    )
-    open_loss = jnp.mean(open_losses[1:])  # skip the zero-state step
+    )  # open_losses: (t_open, B)
+    if open_mask is None:
+        open_loss = jnp.mean(open_losses[1:])  # skip the zero-state step
+    else:
+        om = jnp.moveaxis(open_mask.astype(jnp.float32), 0, 1)  # (t_open, B)
+        om = om.at[0].set(0.0)  # zero-state step never graded
+        open_loss = jnp.sum(open_losses * om) / jnp.maximum(om.sum(), 1e-6)
 
     if closed_mask is None:
         wseq = jnp.ones((B,), jnp.float32) / B
@@ -201,6 +217,7 @@ def make_train_step(
     edge_weight: float = 0.0,
     masked_closed: bool = False,
     motion_weight: float = 0.0,
+    masked_open: bool = False,
 ):
     """Build a jitted train step: (params, opt_state, frames) -> updated.
 
@@ -216,32 +233,42 @@ def make_train_step(
     ``motion_weight > 0`` the COMPLEMENT of that mask gets the closed
     motion-energy hinge (the masked-out sequences — rings — must keep
     moving in closed loop instead of being merely unsupervised).
+    ``masked_open`` adds a further (B, t_open) step argument weighting
+    the open-loop E-term per frame (static-prefix exclusion; see
+    :func:`prednet_seq_loss`).
     """
     if closed_weight > 0.0:
         if t_open is None:
             raise ValueError("closed_weight > 0 requires t_open")
         if motion_weight > 0.0 and not masked_closed:
             raise ValueError("motion_weight requires masked_closed")
-        loss_fn = lambda p, f, m=None: prednet_seq_loss(  # noqa: E731
+        loss_fn = lambda p, f, m=None, om=None: prednet_seq_loss(  # noqa: E731
             p, f, t_open=t_open, closed_weight=closed_weight,
             edge_weight=edge_weight, closed_mask=m,
             motion_weight=motion_weight,
             motion_mask=(None if m is None or motion_weight <= 0.0
                          else 1.0 - m),
+            open_mask=om,
         )
     else:
         if masked_closed:
             raise ValueError("masked_closed requires closed_weight > 0")
+        if masked_open:
+            raise ValueError("masked_open requires closed_weight > 0")
         loss_fn = prednet_loss
 
-    def _update(params, opt_state, frames, mask):
+    def _update(params, opt_state, frames, mask, open_mask):
         # master weights in f32 (bf16 is the inference dtype; JAX's conv
         # transpose rule requires uniform dtypes on the backward pass)
         params32 = jax.tree.map(lambda p: p.astype(jnp.float32), params)
-        if mask is None:
+        if mask is None and open_mask is None:
             loss, grads = jax.value_and_grad(loss_fn)(params32, frames)
-        else:
+        elif open_mask is None:
             loss, grads = jax.value_and_grad(loss_fn)(params32, frames, mask)
+        else:
+            loss, grads = jax.value_and_grad(loss_fn)(
+                params32, frames, mask, open_mask
+            )
         updates, opt_state = tx.update(grads, opt_state, params32)
         params32 = optax.apply_updates(params32, updates)
         params = jax.tree.map(
@@ -249,10 +276,14 @@ def make_train_step(
         )
         return params, opt_state, loss
 
-    if masked_closed:
-        train_step = lambda p, o, f, m: _update(p, o, f, m)  # noqa: E731
+    if masked_open:
+        if not masked_closed:
+            raise ValueError("masked_open requires masked_closed")
+        train_step = lambda p, o, f, m, om: _update(p, o, f, m, om)  # noqa: E731
+    elif masked_closed:
+        train_step = lambda p, o, f, m: _update(p, o, f, m, None)  # noqa: E731
     else:
-        train_step = lambda p, o, f: _update(p, o, f, None)  # noqa: E731
+        train_step = lambda p, o, f: _update(p, o, f, None, None)  # noqa: E731
 
     if mesh is None:
         return jax.jit(train_step)
@@ -261,7 +292,11 @@ def make_train_step(
 
     rep = replicated_sharding(mesh)
     batch = population_sharding(mesh)
-    in_sh = (rep, rep, batch) + ((batch,) if masked_closed else ())
+    in_sh = (rep, rep, batch)
+    if masked_closed:
+        in_sh = in_sh + (batch,)
+    if masked_open:
+        in_sh = in_sh + (batch,)
     return jax.jit(
         train_step,
         in_shardings=in_sh,

@@ -146,12 +146,15 @@ def test_return_regime_ids():
         synthetic_cue_batch,
     )
 
-    frames, regimes = synthetic_cue_batch(
+    frames, regimes, onsets = synthetic_cue_batch(
         jax.random.PRNGKey(3), 16, 4, 24, 32, 1, return_regime=True
     )
     assert frames.shape == (16, 4, 24, 32, 1)
     assert regimes.shape == (16,)
     assert ((np.asarray(regimes) >= 0) & (np.asarray(regimes) <= 6)).all()
+    assert onsets.shape == (16,)
+    # no onset knobs: every sequence's clock starts at 0
+    np.testing.assert_array_equal(np.asarray(onsets), 0.0)
     # same key without the flag: identical frames (regime sampling shared)
     frames2 = synthetic_cue_batch(jax.random.PRNGKey(3), 16, 4, 24, 32, 1)
     np.testing.assert_array_equal(np.asarray(frames), np.asarray(frames2))
@@ -271,5 +274,102 @@ def test_pretrain_masked_closed_smoke():
         closed_frames=2, closed_weight=5.0, closed_exclude_rings=True,
         regime_probs=(0, 0.25, 0.2, 0.15, 0.2, 0.2, 0),
         onset_range=(2, 3), ring_speed_range=(1.0, 2.5),
+    )
+    assert np.isfinite(loss)
+
+
+def test_ring_dir_cue_ties_direction_to_duty():
+    """v5e: with ring_dir_cue the ring drift direction is a deterministic
+    function of the duty cycle (duty > 0.5 -> expand, i.e. iso-phase radius
+    grows, so u at fixed r decreases over time)."""
+    from evolutionary_illusion_generator_tpu.models.prednet.synthetic_data import (
+        _phase_fields,
+    )
+    import jax.numpy as jnp
+
+    for i in range(8):
+        out = _phase_fields(
+            jax.random.PRNGKey(100 + i), 8, 48, 64,
+            ring_speed_range=(1.5, 1.5), ring_dir_cue=True,
+        )
+        u_rings, duty = out[3], out[7]
+        du = float(jnp.mean(u_rings[-1] - u_rings[-2]))
+        assert abs(float(duty) - 0.5) > 0.05  # sampled away from ambiguity
+        assert (float(duty) > 0.5) == (du < 0)
+
+
+def test_ring_onset_range_gates_ring_clock():
+    """Rings hold static for their own onset window, then drift; the
+    per-sequence onset is reported for loss masking."""
+    from evolutionary_illusion_generator_tpu.models.prednet.synthetic_data import (
+        _phase_fields, synthetic_cue_batch,
+    )
+    import jax.numpy as jnp
+
+    out = _phase_fields(
+        jax.random.PRNGKey(5), 10, 48, 64, ring_speed_range=(2.0, 2.0),
+        ring_dir_cue=True, ring_onset_range=(4, 4),
+    )
+    u = out[3]
+    assert float(jnp.max(jnp.abs(u[3] - u[0]))) < 1e-6
+    assert float(jnp.max(jnp.abs(u[6] - u[3]))) > 1e-2
+    frames, regimes, onsets = synthetic_cue_batch(
+        jax.random.PRNGKey(1), 24, 6, 24, 32, 1,
+        regime_probs=(0, 0.2, 0.4, 0.1, 0.15, 0.15, 0),
+        ring_speed_range=(1.0, 2.5), ring_dir_cue=True,
+        ring_onset_range=(2, 4), return_regime=True,
+    )
+    r, o = np.asarray(regimes), np.asarray(onsets)
+    assert (o[r != 2] == 0).all()
+    assert ((o[r == 2] >= 2) & (o[r == 2] <= 4)).all()
+
+
+def test_open_mask_all_ones_matches_unmasked():
+    from evolutionary_illusion_generator_tpu.models.prednet import init_params
+    from evolutionary_illusion_generator_tpu.models.prednet.train import (
+        prednet_seq_loss,
+    )
+    import jax.numpy as jnp
+
+    params = init_params(jax.random.PRNGKey(0), (1, 4))
+    frames = jax.random.uniform(jax.random.PRNGKey(2), (3, 6, 24, 32, 1))
+    base = float(prednet_seq_loss(params, frames, t_open=4, closed_weight=5.0))
+    ones = float(prednet_seq_loss(
+        params, frames, t_open=4, closed_weight=5.0,
+        open_mask=jnp.ones((3, 4)),
+    ))
+    assert abs(base - ones) < 1e-5
+
+
+def test_open_mask_drops_masked_frames_from_open_term():
+    """With the closed term ~off, fully masking one sequence's open frames
+    must equal removing its open contribution: loss over the remaining
+    sequences only."""
+    from evolutionary_illusion_generator_tpu.models.prednet import init_params
+    from evolutionary_illusion_generator_tpu.models.prednet.train import (
+        prednet_seq_loss,
+    )
+    import jax.numpy as jnp
+
+    params = init_params(jax.random.PRNGKey(0), (1, 4))
+    frames = jax.random.uniform(jax.random.PRNGKey(2), (3, 6, 24, 32, 1))
+    mask0 = jnp.ones((3, 4)).at[0].set(0.0)
+    masked = float(prednet_seq_loss(
+        params, frames, t_open=4, closed_weight=0.0, open_mask=mask0,
+    ))
+    sub = float(prednet_seq_loss(
+        params, frames[1:], t_open=4, closed_weight=0.0,
+        open_mask=jnp.ones((2, 4)),
+    ))
+    assert abs(masked - sub) < 1e-5
+
+
+def test_pretrain_v5e_smoke():
+    params, loss = pretrain(
+        (1, 4), steps=3, batch=4, T=4, h=24, w=32, verbose=False,
+        closed_frames=2, closed_weight=5.0, ring_motion_weight=3.0,
+        regime_probs=(0, 0.25, 0.2, 0.15, 0.2, 0.2, 0),
+        onset_range=(2, 3), ring_speed_range=(1.0, 2.5),
+        ring_dir_cue=True, ring_onset_range=(1, 2), ring_mask_prefix=True,
     )
     assert np.isfinite(loss)
