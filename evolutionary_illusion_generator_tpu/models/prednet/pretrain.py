@@ -85,17 +85,24 @@ def pretrain(
     T_total = T + closed_frames
     if ring_motion_weight > 0.0:
         closed_exclude_rings = True  # the hinge replaces the ring L1
-    masked = bool(closed_frames) and closed_exclude_rings
+    # regime metadata (ids + onsets) is needed whenever any loss term is
+    # regime- or onset-masked.  closed_exclude_rings masks rings out of the
+    # closed L1; WITHOUT it (v5f) rings are closed-L1-supervised toward
+    # their true fast continuation — sound only under ring_dir_cue, where
+    # the duty cycle determines the drift direction and the L1 optimum for
+    # a static ring history is the moving continuation, not blur.
+    masked = bool(closed_frames) and (closed_exclude_rings or ring_mask_prefix)
     if masked and data != "v3":
-        raise ValueError("closed_exclude_rings needs the v3 regime data")
+        raise ValueError("regime-masked losses need the v3 regime data")
     # ring_mask_prefix excludes ring sequences' static-prefix frames from
     # the open-loop E-loss (see train.prednet_seq_loss): the onset
     # curriculum must not teach "copy static rings" while it teaches
     # "static ring history -> fast drift" on the post-onset frames.
-    if ring_mask_prefix and not (masked and (ring_onset_range or ring_onset)):
+    if ring_mask_prefix and not (
+        closed_frames and (ring_onset_range or ring_onset)
+    ):
         raise ValueError(
-            "ring_mask_prefix needs closed_frames, a ring-loss mask and a "
-            "ring onset window"
+            "ring_mask_prefix needs closed_frames and a ring onset window"
         )
     step_fn = make_train_step(
         tx, mesh=mesh, t_open=T if closed_frames else None,
@@ -146,7 +153,12 @@ def pretrain(
         key, k = jax.random.split(key)
         if masked:
             frames, regimes, onsets = data_fn(k)
-            mask = (regimes != 2).astype(jnp.float32)  # rings open-loop only
+            if closed_exclude_rings:
+                # rings open-loop only (their closed term is the hinge)
+                mask = (regimes != 2).astype(jnp.float32)
+            else:
+                # v5f: rings fully closed-L1-supervised like the cues
+                mask = jnp.ones_like(regimes, dtype=jnp.float32)
             if ring_mask_prefix:
                 t_idx = jnp.arange(T, dtype=jnp.float32)[None, :]
                 prefix = (

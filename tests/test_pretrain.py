@@ -373,3 +373,17 @@ def test_pretrain_v5e_smoke():
         ring_dir_cue=True, ring_onset_range=(1, 2), ring_mask_prefix=True,
     )
     assert np.isfinite(loss)
+
+
+def test_pretrain_v5f_rings_in_closed_l1_smoke():
+    """v5f: ring_mask_prefix without closed_exclude_rings — rings are
+    closed-L1-supervised toward their true fast continuation (sound under
+    ring_dir_cue), with the static open prefix masked out of the E-loss."""
+    params, loss = pretrain(
+        (1, 4), steps=3, batch=4, T=4, h=24, w=32, verbose=False,
+        closed_frames=2, closed_weight=5.0,
+        regime_probs=(0, 0.25, 0.2, 0.15, 0.2, 0.2, 0),
+        onset_range=(3, 4), ring_speed_range=(1.2, 2.0),
+        ring_dir_cue=True, ring_onset_range=(4, 4), ring_mask_prefix=True,
+    )
+    assert np.isfinite(loss)
