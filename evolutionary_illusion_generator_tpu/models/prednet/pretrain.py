@@ -63,6 +63,7 @@ def pretrain(
     ring_dir_cue: bool = False,
     ring_onset_range=None,
     ring_mask_prefix: bool = False,
+    ring_closed_scale: float = 1.0,
 ):
     """Train a PredNet on synthetic motion; returns (params, final_loss).
 
@@ -157,8 +158,15 @@ def pretrain(
                 # rings open-loop only (their closed term is the hinge)
                 mask = (regimes != 2).astype(jnp.float32)
             else:
-                # v5f: rings fully closed-L1-supervised like the cues
-                mask = jnp.ones_like(regimes, dtype=jnp.float32)
+                # v5f: rings closed-L1-supervised like the cues.
+                # ring_closed_scale < 1 decouples the two closed terms
+                # (v5h): the ring anti-contraction only needs the control
+                # drift over the 0.3 px gate (v5f overshoots 4x at equal
+                # weight, while its bleed into the cue dynamics quadruples
+                # the in-gate drift noise and costs rotation symmetry).
+                mask = jnp.where(
+                    regimes == 2, ring_closed_scale, 1.0
+                ).astype(jnp.float32)
             if ring_mask_prefix:
                 t_idx = jnp.arange(T, dtype=jnp.float32)[None, :]
                 prefix = (
@@ -265,6 +273,11 @@ def main(argv: Optional[list] = None) -> int:
                         "open-loop E-loss so the onset curriculum never "
                         "teaches 'copy static rings' (v5e; needs "
                         "--ring_onset_range and --closed_frames)")
+    p.add_argument("--ring_closed_scale", type=float, default=1.0,
+                   help="relative weight of ring sequences in the closed "
+                        "L1 (v5h: decouple ring anti-contraction from cue "
+                        "coherence; needs --ring_dir_cue and no "
+                        "--closed_exclude_rings)")
     p.add_argument("--regime_probs", default="",
                    help="7 comma-separated regime probabilities "
                         "(texture-static, texture-moving, plain-rings, "
@@ -312,6 +325,7 @@ def main(argv: Optional[list] = None) -> int:
             if args.ring_onset_range else None
         ),
         ring_mask_prefix=args.ring_mask_prefix,
+        ring_closed_scale=args.ring_closed_scale,
     )
     out = args.out or f"prednet_{'_'.join(map(str, channels))}.npz"
     save_params(params, out)

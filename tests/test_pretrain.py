@@ -387,3 +387,17 @@ def test_pretrain_v5f_rings_in_closed_l1_smoke():
         ring_dir_cue=True, ring_onset_range=(4, 4), ring_mask_prefix=True,
     )
     assert np.isfinite(loss)
+
+
+def test_pretrain_ring_closed_scale_smoke():
+    """v5h: per-class closed weights — rings at a fraction of the cue
+    closed weight (anti-contraction needs only >0.3 px control drift)."""
+    params, loss = pretrain(
+        (1, 4), steps=3, batch=4, T=4, h=24, w=32, verbose=False,
+        closed_frames=2, closed_weight=5.0,
+        regime_probs=(0, 0.25, 0.2, 0.15, 0.2, 0.2, 0),
+        onset_range=(3, 4), ring_speed_range=(1.2, 2.0),
+        ring_dir_cue=True, ring_onset_range=(4, 4), ring_mask_prefix=True,
+        ring_closed_scale=0.25,
+    )
+    assert np.isfinite(loss)
