@@ -287,10 +287,13 @@ def _phase_fields(key, T, h, w, speed_range=(0.5, 2.5), max_onset=0,
         cue_side = jnp.sign(
             jax.random.uniform(jax.random.fold_in(ks[7], 1), ()) - 0.5
         )
-        # keep a wide margin from the ambiguous 0.5 point: near-symmetric
-        # duties blur the class boundary and the direction association
+        # moderate margin from the ambiguous 0.5 point.  Measured (v5g,
+        # v5h): widening this to 0.15-0.35 makes the ring class's thin-
+        # ring look converge on the rated wedge-ring stimuli themselves —
+        # the rated CIRCLES images then read as rings and drift 2-4 px,
+        # gating the whole circles family to 0.
         cue_mag = jax.random.uniform(
-            jax.random.fold_in(ks[7], 2), (), minval=0.15, maxval=0.35
+            jax.random.fold_in(ks[7], 2), (), minval=0.08, maxval=0.30
         )
         ring_duty = 0.5 + cue_side * cue_mag
     else:
