@@ -1,10 +1,11 @@
 """Rated-gallery ordering regression test (TPU-only, slow).
 
-Guards the bundled v4 predictor weights: the probe on the reference's
-rated stimuli must keep the published ordering — control strictly lowest
-(it scores 0.0 via the plausibility/count gates with the v4 weights) and
+Guards the bundled predictor weights (BW v5i + color v4): the probe on
+the reference's rated stimuli must keep the published ordering — control
+strictly lowest (it scores 0.0 via the plausibility/count gates) and
 every circles-family image clearly above it (BENCH_NOTES.md quality
-table, eigen_own_ratings.csv).
+table, eigen_own_ratings.csv).  Last hardware run: 2026-08-17, passed
+in 100 s (v5i BW promotion).
 
 Skipped on the CPU test mesh (a full 8-image probe sweep takes minutes
 and the conftest forces CPU); run manually on hardware with:
