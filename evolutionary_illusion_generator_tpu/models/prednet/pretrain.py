@@ -13,11 +13,13 @@ model path is given.
 from __future__ import annotations
 
 import argparse
+import os
 import time
 from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 from .loader import save_params
@@ -26,6 +28,54 @@ from .train import init_opt_state, make_train_step
 from .synthetic_data import synthetic_cue_batch, synthetic_motion_batch
 
 __all__ = ["pretrain", "main"]
+
+
+def _ckpt_save(path, params, opt_state, key, step) -> None:
+    """Atomic training checkpoint: params (f32, lossless from bf16), the
+    exact optimizer-state leaves, and the RNG key AT an iteration boundary
+    — enough for a bitwise-identical resume (the train step rebuilds its
+    f32 master from the bf16 params every step, so no hidden state)."""
+    flat = {"step": np.asarray(step), "key": np.asarray(jax.device_get(key))}
+    for l, layer in enumerate(params):
+        for name, arr in layer.items():
+            flat[f"p/l{l}/{name}"] = np.asarray(
+                jax.device_get(arr), np.float32
+            )
+    for i, leaf in enumerate(jax.tree.leaves(opt_state)):
+        flat[f"o/{i}"] = np.asarray(jax.device_get(leaf))
+    tmp = path + ".tmp.npz"
+    np.savez(tmp, **flat)
+    os.replace(tmp, path)
+
+
+def _ckpt_load(path, params, opt_state):
+    """Restore (params, opt_state, key, step) saved by :func:`_ckpt_save`.
+
+    Raises (KeyError/ValueError) on any mismatch with the current model —
+    callers treat that as "stale checkpoint, start fresh".
+    """
+    data = np.load(path)
+    new_params = [
+        {
+            name: jnp.asarray(data[f"p/l{l}/{name}"], arr.dtype)
+            for name, arr in layer.items()
+        }
+        for l, layer in enumerate(params)
+    ]
+    leaves, treedef = jax.tree.flatten(opt_state)
+    new_leaves = []
+    for i, leaf in enumerate(leaves):
+        stored = data[f"o/{i}"]
+        if tuple(stored.shape) != tuple(jnp.shape(leaf)):
+            raise ValueError(
+                f"opt-state leaf {i} shape {stored.shape} != "
+                f"{jnp.shape(leaf)}"
+            )
+        new_leaves.append(jnp.asarray(stored, leaf.dtype))
+    key = jnp.asarray(data["key"])
+    return new_params, jax.tree.unflatten(treedef, new_leaves), key, int(
+        data["step"]
+    )
 
 
 def pretrain(
@@ -64,6 +114,8 @@ def pretrain(
     ring_onset_range=None,
     ring_mask_prefix: bool = False,
     ring_closed_scale: float = 1.0,
+    checkpoint: Optional[str] = None,
+    save_every: int = 0,
 ):
     """Train a PredNet on synthetic motion; returns (params, final_loss).
 
@@ -148,9 +200,27 @@ def pretrain(
     else:
         raise ValueError(f"unknown data set {data!r}")
 
+    start = 0
+    if checkpoint and os.path.exists(checkpoint):
+        try:
+            params, opt_state, key, start = _ckpt_load(
+                checkpoint, params, opt_state
+            )
+            if verbose:
+                print(f"[pretrain] resumed {checkpoint} at step {start}",
+                      flush=True)
+        except Exception as e:  # stale/mismatched checkpoint: start fresh
+            if verbose:
+                print(f"[pretrain] ignoring stale checkpoint ({e})",
+                      flush=True)
+            start = 0
     loss = None
     t0 = time.time()
-    for i in range(steps):
+    for i in range(start, steps):
+        # checkpoint at the iteration boundary (key not yet split, so a
+        # resumed run replays the identical data stream)
+        if checkpoint and save_every and i > start and i % save_every == 0:
+            _ckpt_save(checkpoint, params, opt_state, key, i)
         key, k = jax.random.split(key)
         if masked:
             frames, regimes, onsets = data_fn(k)
@@ -190,7 +260,7 @@ def pretrain(
                 f"({time.time() - t0:.1f}s)",
                 flush=True,
             )
-    return params, float(loss)
+    return params, (float(loss) if loss is not None else float("nan"))
 
 
 def main(argv: Optional[list] = None) -> int:
@@ -282,6 +352,12 @@ def main(argv: Optional[list] = None) -> int:
                    help="7 comma-separated regime probabilities "
                         "(texture-static, texture-moving, plain-rings, "
                         "linear-sawtooth, tangential, radial, disc-static)")
+    p.add_argument("--save_every", type=int, default=2000,
+                   help="write a resumable training checkpoint "
+                        "(<out>.part.npz) every N steps; a restarted run "
+                        "picks it up and replays bitwise-identically "
+                        "(stall-watchdog restarts lose <=N steps). "
+                        "0 disables")
     p.add_argument("--out", default="")
     args = p.parse_args(argv)
 
@@ -289,6 +365,8 @@ def main(argv: Optional[list] = None) -> int:
 
     enable_compilation_cache()
     channels = [int(x) for x in args.channels.split(",")]
+    out = args.out or f"prednet_{'_'.join(map(str, channels))}.npz"
+    ckpt = (out + ".part.npz") if args.save_every else None
     params, loss = pretrain(
         channels,
         steps=args.steps,
@@ -326,9 +404,12 @@ def main(argv: Optional[list] = None) -> int:
         ),
         ring_mask_prefix=args.ring_mask_prefix,
         ring_closed_scale=args.ring_closed_scale,
+        checkpoint=ckpt,
+        save_every=args.save_every,
     )
-    out = args.out or f"prednet_{'_'.join(map(str, channels))}.npz"
     save_params(params, out)
+    if ckpt and os.path.exists(ckpt):
+        os.remove(ckpt)
     print(f"[pretrain] saved {out} (final loss {loss:.5f})")
     return 0
 

@@ -401,3 +401,41 @@ def test_pretrain_ring_closed_scale_smoke():
         ring_closed_scale=0.25,
     )
     assert np.isfinite(loss)
+
+
+def test_pretrain_checkpoint_resume_bitwise(tmp_path):
+    """A run killed after a checkpoint and restarted must converge to the
+    BITWISE-identical result of an uninterrupted run: the checkpoint holds
+    params (f32, lossless from bf16), the exact opt-state leaves, and the
+    RNG key at an iteration boundary, so the resumed run replays the same
+    data stream through the same train step (stall-watchdog restarts of
+    long TPU pretrains lose at most save_every steps, not the whole run)."""
+    import os
+
+    ck = str(tmp_path / "ck.npz")
+    kw = dict(steps=4, batch=2, T=3, h=16, w=16, verbose=False)
+    p_full, _ = pretrain((1, 2, 4), **kw)
+    # full run that also wrote a mid-run checkpoint (state after step 2)
+    pretrain((1, 2, 4), checkpoint=ck, save_every=2, **kw)
+    assert os.path.exists(ck)
+    # "restarted" run: resumes at step 2, runs 2-3
+    p_res, _ = pretrain((1, 2, 4), checkpoint=ck, save_every=2, **kw)
+    for full, res in zip(p_full, p_res):
+        for name in full:
+            np.testing.assert_array_equal(
+                np.asarray(jax.device_get(full[name]), np.float32),
+                np.asarray(jax.device_get(res[name]), np.float32),
+                err_msg=name,
+            )
+
+
+def test_pretrain_stale_checkpoint_ignored(tmp_path):
+    """A checkpoint from a different model shape must be ignored, not crash."""
+    import os
+
+    ck = str(tmp_path / "ck.npz")
+    kw = dict(steps=3, batch=2, T=3, h=16, w=16, verbose=False)
+    pretrain((1, 2, 4), checkpoint=ck, save_every=1, **kw)
+    assert os.path.exists(ck)
+    params, loss = pretrain((1, 4), checkpoint=ck, save_every=0, **kw)
+    assert np.isfinite(loss)
