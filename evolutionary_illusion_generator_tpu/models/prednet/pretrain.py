@@ -114,6 +114,7 @@ def pretrain(
     ring_onset_range=None,
     ring_mask_prefix: bool = False,
     ring_closed_scale: float = 1.0,
+    cue_period_range=None,
     checkpoint: Optional[str] = None,
     save_every: int = 0,
 ):
@@ -171,6 +172,8 @@ def pretrain(
                   "ring_dir_cue": ring_dir_cue}
         if ring_onset_range is not None:
             kwargs["ring_onset_range"] = tuple(ring_onset_range)
+        if cue_period_range is not None:
+            kwargs["cue_period_range"] = tuple(cue_period_range)
         if onset_range is not None:
             kwargs["onset_range"] = tuple(onset_range)
         if cue_slow_range is not None:
@@ -352,6 +355,12 @@ def main(argv: Optional[list] = None) -> int:
                    help="7 comma-separated regime probabilities "
                         "(texture-static, texture-moving, plain-rings, "
                         "linear-sawtooth, tangential, radial, disc-static)")
+    p.add_argument("--cue_period", default="",
+                   help="min,max sawtooth spatial period in px (default "
+                        "12,40).  The rated stimuli's wedge structure is "
+                        "radius-proportional down to ~4-8 px near the "
+                        "centre; lowering the minimum puts those fine "
+                        "scales in distribution (v6 fidelity series)")
     p.add_argument("--save_every", type=int, default=2000,
                    help="write a resumable training checkpoint "
                         "(<out>.part.npz) every N steps; a restarted run "
@@ -404,6 +413,8 @@ def main(argv: Optional[list] = None) -> int:
         ),
         ring_mask_prefix=args.ring_mask_prefix,
         ring_closed_scale=args.ring_closed_scale,
+        cue_period_range=(tuple(float(x) for x in args.cue_period.split(","))
+                          if args.cue_period else None),
         checkpoint=ckpt,
         save_every=args.save_every,
     )

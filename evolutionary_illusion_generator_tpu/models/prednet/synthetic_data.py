@@ -145,7 +145,7 @@ def _phase_fields(key, T, h, w, speed_range=(0.5, 2.5), max_onset=0,
                   move_prob=1.0, slow_range=None, slow_frac=0.0,
                   onset_hazard=0.0, ring_speed_range=None,
                   onset_range=None, ring_onset=False, ring_dir_cue=False,
-                  ring_onset_range=None):
+                  ring_onset_range=None, cue_period_range=(12.0, 40.0)):
     """Per-regime phase fields u(t, y, x); value = ramp(u).
 
     Motion is toward the ramp direction for the asymmetric regimes (the
@@ -234,8 +234,17 @@ def _phase_fields(key, T, h, w, speed_range=(0.5, 2.5), max_onset=0,
         )
         t = jnp.maximum(t - onset, 0.0)
 
-    # spatial periods 12-40 px
-    period = jax.random.uniform(ks[2], (), minval=12.0, maxval=40.0)
+    # sawtooth spatial period.  The default 12-40 px matches the rated
+    # stimuli's OUTER rings only: their wedge structure is radius-
+    # proportional and reaches ~4-8 px near the centre, where a predictor
+    # trained on >=12 px patterns gives no drift response — measured
+    # (scripts/field_anatomy.py) as the noise vectors that cap the
+    # rotation-symmetry term.  Lower the minimum to put fine scales in
+    # distribution (v6 series).
+    period = jax.random.uniform(
+        ks[2], (),
+        minval=float(cue_period_range[0]), maxval=float(cue_period_range[1]),
+    )
     speed = jax.random.uniform(
         ks[3], (), minval=speed_range[0], maxval=speed_range[1]
     )
@@ -387,6 +396,7 @@ def synthetic_cue_batch(
     ring_onset: bool = False,
     ring_dir_cue: bool = False,
     ring_onset_range=None,
+    cue_period_range=(12.0, 40.0),
     return_regime: bool = False,
 ):
     """(batch, T, h, w, c) float32 cue sequences (v3).
@@ -443,6 +453,7 @@ def synthetic_cue_batch(
             k_phase, T, h, w, cue_speed_range, max_onset, move_prob,
             cue_slow_range, cue_slow_frac, onset_hazard, ring_speed_range,
             onset_range, ring_onset, ring_dir_cue, ring_onset_range,
+            cue_period_range,
         )
         rise = jax.random.uniform(
             jax.random.fold_in(k_phase, 9), (), minval=0.7, maxval=0.9

@@ -439,3 +439,35 @@ def test_pretrain_stale_checkpoint_ignored(tmp_path):
     assert os.path.exists(ck)
     params, loss = pretrain((1, 4), checkpoint=ck, save_every=0, **kw)
     assert np.isfinite(loss)
+
+
+def test_cue_period_range_changes_pattern_scale():
+    """Lower cue periods must produce visibly finer sawtooth patterns."""
+    from evolutionary_illusion_generator_tpu.models.prednet.synthetic_data import (
+        synthetic_cue_batch,
+    )
+
+    def mean_grad(period_range):
+        # all-linear-sawtooth batch so the period is the only scale knob
+        f = np.asarray(
+            synthetic_cue_batch(
+                jax.random.PRNGKey(0), 4, 3, 48, 64, 1,
+                regime_probs=(0, 0, 0, 1.0, 0, 0, 0),
+                cue_period_range=period_range,
+            )
+        )
+        return np.abs(np.diff(f[:, 0, :, :, 0], axis=-1)).mean()
+
+    assert mean_grad((5.0, 7.0)) > 1.8 * mean_grad((30.0, 40.0))
+
+
+def test_cue_period_pretrain_smoke():
+    params, loss = pretrain(
+        (1, 4), steps=2, batch=2, T=4, h=24, w=32, verbose=False,
+        closed_frames=2, closed_weight=5.0,
+        regime_probs=(0, 0.25, 0.2, 0.15, 0.2, 0.2, 0),
+        onset_range=(3, 4), ring_speed_range=(1.2, 2.0),
+        ring_dir_cue=True, ring_onset_range=(4, 4), ring_mask_prefix=True,
+        ring_closed_scale=0.5, cue_period_range=(6.0, 40.0),
+    )
+    assert np.isfinite(loss)
