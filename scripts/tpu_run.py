@@ -68,9 +68,13 @@ def main(argv=None):
                         "(measured), so anything below ~900 s turns a "
                         "fresh compile into an infinite kill/retry loop")
     p.add_argument("--retries", type=int, default=4)
-    p.add_argument("--cooldown", type=float, default=420.0,
-                   help="seconds to wait after a stall before retrying "
-                        "(remote claim drop needs ~10 min idle)")
+    p.add_argument("--cooldown", type=float, default=720.0,
+                   help="seconds to wait after a stall before retrying. "
+                        "The remote claim needs ~10 min FULLY idle to "
+                        "drop; a client that re-grabs early hangs forever "
+                        "(it does not recover when the claim drops later "
+                        "— measured: a 420 s cooldown wedged two retries "
+                        "in a row)")
     p.add_argument("cmd", nargs=argparse.REMAINDER,
                    help="-- command to run")
     args = p.parse_args(argv)
