@@ -375,7 +375,14 @@ def main(argv: Optional[list] = None) -> int:
     enable_compilation_cache()
     channels = [int(x) for x in args.channels.split(",")]
     out = args.out or f"prednet_{'_'.join(map(str, channels))}.npz"
-    ckpt = (out + ".part.npz") if args.save_every else None
+    # recipe-keyed part file: a rerun with DIFFERENT flags but the same
+    # --out must not resume the old recipe's checkpoint (shapes can match)
+    import hashlib
+
+    recipe = {k: v for k, v in sorted(vars(args).items())
+              if k not in ("out", "save_every")}
+    tag = hashlib.sha256(repr(recipe).encode()).hexdigest()[:10]
+    ckpt = f"{out}.part-{tag}.npz" if args.save_every else None
     params, loss = pretrain(
         channels,
         steps=args.steps,
