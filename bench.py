@@ -93,6 +93,9 @@ def measure_generation(pop, reps, backend_note=""):
         # BENCH_SUBPIXEL=1: coarse-resolution parity decomposition of the
         # top-down upsample+conv (EvalConfig.subpixel_up)
         subpixel_up=os.environ.get("BENCH_SUBPIXEL", "0") == "1",
+        # BENCH_INT8=1: int8-quantized predictor convs (2x MXU throughput,
+        # quantization noise on the drift signal — EvalConfig.prednet_int8)
+        prednet_int8=os.environ.get("BENCH_INT8", "0") == "1",
         microbatch=MICROBATCH,
     )
     evaluator = GenerationEvaluator(cfg, params, neat_cfg)

@@ -36,7 +36,11 @@ from ..models.cppn import (
     population_act_set,
     required_nodes,
 )
-from ..models.prednet.model import PredNetParams, rollout_flow_frames
+from ..models.prednet.model import (
+    PredNetParams,
+    quantize_params_int8,
+    rollout_flow_frames,
+)
 from ..neat.config import NeatConfig
 from ..neat.genome import Genome
 from ..ops.fitness.calculate import score_vectors
@@ -103,6 +107,13 @@ class EvalConfig:
     # bandwidth (the generation's dominant cost); "float32" for exact
     # predictor numerics
     prednet_dtype: str = "bfloat16"
+    # int8-quantize the frozen predictor's conv weights (per-output-channel
+    # scales) with dynamic per-tensor activation quantization — the conv
+    # FLOPs then run at the v5e MXU's doubled int8 throughput
+    # (models/prednet/model.py::quantize_params_int8).  Quantization noise
+    # perturbs the sub-pixel drift signal the fitness oracle reads, so this
+    # is opt-in; promote only behind a measured rated-probe ordering check.
+    prednet_int8: bool = False
     # population microbatching bound (memory); 0 = whole population at once
     microbatch: int = 0
     # CPPN level-bucket: genomes are packed into ``cppn_levels`` topological
@@ -188,6 +199,8 @@ class GenerationEvaluator:
         if cfg.debug_nans:
             jax.config.update("jax_debug_nans", True)
         self.cfg = cfg
+        if cfg.prednet_int8:
+            params = quantize_params_int8(params)
         self.params = params
         self.neat_cfg = neat_cfg
         grid = create_grid(cfg.structure, cfg.w, cfg.h, GRID_SCALING)

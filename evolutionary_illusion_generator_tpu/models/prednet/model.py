@@ -48,6 +48,7 @@ __all__ = [
     "init_params",
     "init_state",
     "prednet_step",
+    "quantize_params_int8",
     "rollout",
     "rollout_flow_frames",
 ]
@@ -123,6 +124,71 @@ def init_state(
             }
         )
     return state
+
+
+def quantize_params_int8(params: PredNetParams) -> PredNetParams:
+    """Symmetric int8 quantization of every conv weight (frozen predictor).
+
+    Per-OUTPUT-channel scales (max-abs / 127), so slicing the fused LSTM
+    kernel along its INPUT axis — how :func:`prednet_step` splits the
+    per-source convs — leaves the scales valid.  Biases and peephole
+    vectors stay in their float dtype.
+
+    v5e MXU throughput doubles for int8 vs bf16 (394 vs 197 T-ops/s), so
+    this halves the speed-of-light of the rollout's conv FLOPs; the cost
+    is quantization noise on the *activations* (dynamic per-tensor scale
+    in :func:`_conv_q`), which perturbs the sub-pixel drift signals the
+    fitness oracle reads.  Opt-in (``EvalConfig.prednet_int8``); promote
+    only with a measured rated-probe ordering check, like the Pallas and
+    subpixel experiments (BENCH_NOTES.md).
+    """
+    qp: PredNetParams = []
+    for layer in params:
+        q = {}
+        for k, v in layer.items():
+            if k.endswith("_w") and getattr(v, "ndim", 0) == 4:
+                w32 = jnp.asarray(v, jnp.float32)
+                s = jnp.maximum(
+                    jnp.max(jnp.abs(w32), axis=(0, 1, 2)) / 127.0, 1e-12
+                )  # (Cout,)
+                q[k] = jnp.clip(jnp.round(w32 / s), -127, 127).astype(jnp.int8)
+                q[k + "_s"] = s
+            else:
+                q[k] = v
+        qp.append(q)
+    return qp
+
+
+def _is_quantized(params: PredNetParams) -> bool:
+    return params[0]["lstm_w"].dtype == jnp.int8
+
+
+def _state_dtype(params: PredNetParams):
+    """Recurrent-state dtype: the weight dtype, or the bias dtype for
+    int8-quantized params (states must stay floating point)."""
+    w = params[0]["lstm_w"]
+    return params[0]["lstm_b"].dtype if w.dtype == jnp.int8 else w.dtype
+
+
+def _conv_q(x, wq, ws, b, out_dtype=jnp.float32):
+    """int8 NHWC conv: dynamic per-tensor activation scale, int32 MXU
+    accumulation, dequantize with the per-output-channel weight scales.
+
+    ``b`` may be ``None`` (the no-bias gate-source convs)."""
+    ascale = jnp.maximum(jnp.max(jnp.abs(x)) / 127.0, 1e-12)
+    xq = jnp.clip(jnp.round(x / ascale), -127, 127).astype(jnp.int8)
+    y = jax.lax.conv_general_dilated(
+        xq,
+        wq,
+        window_strides=(1, 1),
+        padding="SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32,
+    )
+    y = y.astype(jnp.float32) * (ascale.astype(jnp.float32) * ws)
+    if b is not None:
+        y = y + b.astype(jnp.float32)
+    return y.astype(out_dtype)
 
 
 def _conv(x, w, b, out_dtype=jnp.float32):
@@ -304,6 +370,12 @@ def prednet_step(
     L = len(params)
     dtype = state[0]["r"].dtype
     cd = compute_dtype
+    quantized = _is_quantized(params)
+    if quantized:
+        # int8 params carry their own conv path; the Pallas kernels and the
+        # subpixel decomposition assume float weights
+        use_pallas = False
+        subpixel_up = False
 
     # ---- top-down recurrent pass -------------------------------------
     # The gate conv is computed as a SUM of per-source convs (weight slices
@@ -381,6 +453,21 @@ def prednet_step(
                 x, w_l, params[l]["lstm_b"], s["c"],
                 interpret=jax.default_backend() != "tpu",
             )
+        elif quantized:
+            ws = params[l]["lstm_w_s"]
+            gates = _conv_q(
+                s["e"].astype(cd), w[:, :, : 2 * C], ws,
+                params[l]["lstm_b"], cd,
+            )
+            gates = gates + _conv_q(
+                s["r"].astype(cd), w[:, :, 2 * C : 3 * C], ws, None, cd
+            )
+            if r_above is not None:
+                gates = gates + _conv_q(
+                    _upsample2(r_above).astype(cd), w[:, :, 3 * C :], ws,
+                    None, cd,
+                )
+            h, c = _apply_gates(gates, s["c"], use_pallas, peephole)
         else:
             w_e = w[:, :, : 2 * C]
             w_r = w[:, :, 2 * C : 3 * C]
@@ -405,7 +492,13 @@ def prednet_step(
     prediction = None
     for l in range(L):
         r = new_state[l]["r"]
-        ahat = _conv(r, params[l]["ahat_w"], params[l]["ahat_b"], cd)
+        if quantized:
+            ahat = _conv_q(
+                r.astype(cd), params[l]["ahat_w"], params[l]["ahat_w_s"],
+                params[l]["ahat_b"], cd,
+            )
+        else:
+            ahat = _conv(r, params[l]["ahat_w"], params[l]["ahat_b"], cd)
         if l == 0:
             ahat = jnp.clip(ahat, 0.0, 1.0)  # SatLU at the pixel layer
             prediction = ahat.astype(jnp.float32)
@@ -416,9 +509,20 @@ def prednet_step(
         )
         new_state[l]["e"] = e.astype(dtype)
         if l + 1 < L:
-            a_next = jax.nn.relu(
-                _conv(e.astype(dtype), params[l]["a_w"], params[l]["a_b"], cd)
-            )
+            if quantized:
+                a_next = jax.nn.relu(
+                    _conv_q(
+                        e, params[l]["a_w"], params[l]["a_w_s"],
+                        params[l]["a_b"], cd,
+                    )
+                )
+            else:
+                a_next = jax.nn.relu(
+                    _conv(
+                        e.astype(dtype), params[l]["a_w"], params[l]["a_b"],
+                        cd,
+                    )
+                )
             a = _maxpool2(a_next)
 
     return new_state, prediction
@@ -455,7 +559,7 @@ def rollout(
     channels = [p["ahat_w"].shape[2] for p in params]
     assert channels[0] == C0, (channels, C0)
     T = repeat + extension
-    state0 = init_state(B, H, W, channels, dtype=params[0]["lstm_w"].dtype)
+    state0 = init_state(B, H, W, channels, dtype=_state_dtype(params))
     collect = tuple(sorted(collect))
     frames32 = images.astype(jnp.float32)
 
