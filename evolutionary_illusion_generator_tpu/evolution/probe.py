@@ -55,6 +55,7 @@ def get_vectors(
     flow: FlowConfig = FlowConfig(),
     seed: int = 0,
     quantize: bool = True,
+    int8: bool = False,
 ):
     """Flow vectors for one image through the probe pipeline.
 
@@ -66,12 +67,20 @@ def get_vectors(
     (tests/test_compat.py).  ``quantize=False`` keeps the pure-float device
     frames.
 
+    ``int8=True`` routes the predictor through the int8-quantized conv path
+    (models/prednet/model.py::quantize_params_int8) — the fidelity gate for
+    promoting ``EvalConfig.prednet_int8``.
+
     Returns an (N, 4) numpy array of [x, y, dx, dy] rows (empty when
     nothing was trackable — the reference returns ``[None]`` then).
     """
     enable_compilation_cache()
     c_dim = channels[0]
     params = load_or_init(model_name, list(channels), seed=seed)
+    if int8:
+        from ..models.prednet.model import quantize_params_int8
+
+        params = quantize_params_int8(params)
     img = load_image(image_path, size=(w, h), c_dim=c_dim)
     batch = jnp.asarray(img)[None]
     f0, f1 = rollout_flow_frames(

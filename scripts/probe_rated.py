@@ -45,6 +45,9 @@ def main(argv=None):
     p.add_argument("--model_color", default=None, help="color predictor (default: bundled)")
     p.add_argument("--json", default="", help="also write results as JSON")
     p.add_argument("--cpu", action="store_true", help="force the CPU backend")
+    p.add_argument("--int8", action="store_true",
+                   help="int8-quantize the predictors (the promotion gate "
+                        "for EvalConfig.prednet_int8)")
     args = p.parse_args(argv)
 
     if args.cpu:
@@ -73,7 +76,8 @@ def main(argv=None):
         mode = Image.open(path).mode
         channels = BW if mode == "L" else COLOR
         model = args.model_bw if mode == "L" else args.model_color
-        vectors = get_vectors(path, model, channels, 160, 120)
+        vectors = get_vectors(path, model, channels, 160, 120,
+                              int8=args.int8)
         score = (
             0.0
             if vectors.size == 0
