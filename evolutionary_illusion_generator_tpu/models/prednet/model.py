@@ -171,11 +171,19 @@ def _state_dtype(params: PredNetParams):
 
 
 def _conv_q(x, wq, ws, b, out_dtype=jnp.float32):
-    """int8 NHWC conv: dynamic per-tensor activation scale, int32 MXU
+    """int8 NHWC conv: dynamic PER-SAMPLE activation scale, int32 MXU
     accumulation, dequantize with the per-output-channel weight scales.
 
+    The activation scale is per batch row (max over H, W, C), not per
+    tensor: the evaluator batches many genomes per chunk, and a shared
+    scale would let one genome's outlier activations perturb every other
+    genome's quantization — scores would depend on chunk composition,
+    breaking the chunking/sharding parity invariants.
+
     ``b`` may be ``None`` (the no-bias gate-source convs)."""
-    ascale = jnp.maximum(jnp.max(jnp.abs(x)) / 127.0, 1e-12)
+    ascale = jnp.maximum(
+        jnp.max(jnp.abs(x), axis=(1, 2, 3), keepdims=True) / 127.0, 1e-12
+    )  # (N, 1, 1, 1)
     xq = jnp.clip(jnp.round(x / ascale), -127, 127).astype(jnp.int8)
     y = jax.lax.conv_general_dilated(
         xq,

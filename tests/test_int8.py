@@ -72,6 +72,33 @@ def test_int8_rollout_tracks_float():
         assert np.corrcoef(a.ravel(), b.ravel())[0, 1] > 0.95
 
 
+def test_int8_batch_composition_independence():
+    """A sample's quantized rollout must not depend on its batch peers.
+
+    The activation scales in ``_conv_q`` are per batch row; a per-tensor
+    scale would couple genomes through one outlier's activations and break
+    the chunking/sharding parity invariants (evaluator chunks are batch
+    rows).  Rolling a sample alone must bit-match rolling it next to a
+    high-amplitude neighbour."""
+    params = load_or_init(None, (1, 16, 32, 64))
+    qp = quantize_params_int8(params)
+    key = jax.random.PRNGKey(2)
+    base = jax.image.resize(
+        jax.random.uniform(key, (1, 12, 16, 1)), (1, 48, 64, 1), "linear"
+    )
+    loud = jnp.concatenate([base, jnp.ones_like(base)], axis=0)
+    a0, a1 = rollout_flow_frames(
+        qp, base, repeat=6, extension=2, pair="population",
+        compute_dtype=jnp.bfloat16,
+    )
+    b0, b1 = rollout_flow_frames(
+        qp, loud, repeat=6, extension=2, pair="population",
+        compute_dtype=jnp.bfloat16,
+    )
+    np.testing.assert_array_equal(np.asarray(a0[0]), np.asarray(b0[0]))
+    np.testing.assert_array_equal(np.asarray(a1[0]), np.asarray(b1[0]))
+
+
 def test_int8_evaluator_smoke():
     """EvalConfig.prednet_int8 quantizes at construction and evaluates."""
     neat_cfg = preset("circles").replace(num_hidden=4)
