@@ -27,7 +27,12 @@ def main(argv=None):
     for p in paths:
         with open(p) as f:
             d = json.load(f)
-        runs.append((os.path.basename(p).replace(".json", ""), d["scores"]))
+        # probe_rated.py --json writes {"results": ...}; the promoted
+        # gallery tables (rated_probe_v*.json) use {"scores": ...}
+        table = d.get("scores") or d.get("results")
+        if table is None:
+            raise SystemExit(f"{p}: neither 'scores' nor 'results' key")
+        runs.append((os.path.basename(p).replace(".json", ""), table))
 
     images = sorted(runs[0][1])
     names = [n for n, _ in runs]
