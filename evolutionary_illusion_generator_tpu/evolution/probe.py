@@ -131,10 +131,14 @@ def main(argv: Optional[List[str]] = None) -> int:
     parser.add_argument("--channels", "-ch", default="3,48,96,192",
                         help="predictor channel stack (extension; the "
                         "reference's test.py is fixed to the color stack)")
+    parser.add_argument("--int8", action="store_true",
+                        help="int8-quantized predictor convs (extension; "
+                        "2x MXU throughput, see BENCH_NOTES.md)")
     args = parser.parse_args(argv)
 
     channels = tuple(int(x) for x in args.channels.split(","))
-    vectors = get_vectors(args.input_image, args.model or None, channels)
+    vectors = get_vectors(args.input_image, args.model or None, channels,
+                          int8=args.int8)
     if vectors.size == 0:
         print("score", 0.0)
         return 0
