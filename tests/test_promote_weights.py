@@ -1,0 +1,63 @@
+"""scripts/promote_weights.py — candidate-snapshot promotion helper.
+
+Covers the pure parts (stack inference, destination gating); the
+subprocess steps (cache + probe regeneration) are the already-tested
+scripts it shells out to (tests/test_rated_ordering.py binds their
+output to the weights by hash).
+"""
+
+import importlib.util
+import os
+
+import numpy as np
+import pytest
+
+SCRIPT = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "scripts",
+    "promote_weights.py",
+)
+
+WEIGHTS_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "evolutionary_illusion_generator_tpu",
+    "models",
+    "prednet",
+    "weights",
+)
+
+
+@pytest.fixture(scope="module")
+def promote():
+    spec = importlib.util.spec_from_file_location("promote_weights", SCRIPT)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_infer_channels_bundled(promote):
+    assert promote.infer_channels(
+        os.path.join(WEIGHTS_DIR, "prednet_1_16_32_64.npz")
+    ) == [1, 16, 32, 64]
+    assert promote.infer_channels(
+        os.path.join(WEIGHTS_DIR, "prednet_3_48_96_192.npz")
+    ) == [3, 48, 96, 192]
+
+
+def test_infer_channels_rejects_non_snapshot(promote, tmp_path):
+    bad = tmp_path / "not_a_snapshot.npz"
+    np.savez(bad, foo=np.zeros(3))
+    with pytest.raises(SystemExit):
+        promote.infer_channels(str(bad))
+
+
+def test_unknown_stack_refused(promote, tmp_path):
+    """A candidate whose stack has no bundled default must not be copied
+    anywhere silently."""
+    cand = tmp_path / "cand.npz"
+    np.savez(
+        cand,
+        **{"l0/lstm_w": np.zeros((3, 3, 6, 8), np.float32)},
+    )  # stack (2,) — no bundled prednet_2.npz
+    with pytest.raises(SystemExit):
+        promote.main([str(cand), "--tag", "test"])
