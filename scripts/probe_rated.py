@@ -48,6 +48,12 @@ def main(argv=None):
     p.add_argument("--int8", action="store_true",
                    help="int8-quantize the predictors (the promotion gate "
                         "for EvalConfig.prednet_int8)")
+    p.add_argument("--only", default="",
+                   help="comma-separated subset: image names and/or the "
+                        "shorthands 'bw' / 'color' (stack-filtered probes "
+                        "for the v6 weights series skip the other stack's "
+                        "rows).  Ordering summary lines cover only the "
+                        "probed rows")
     args = p.parse_args(argv)
 
     if args.cpu:
@@ -69,9 +75,25 @@ def main(argv=None):
         calculate_fitness,
     )
 
+    selected = []
+    if args.only:
+        toks = {t.strip() for t in args.only.split(",") if t.strip()}
+        names = {n for n, _, _, _ in IMAGES}
+        bad = toks - names - {"bw", "color"}
+        if bad:
+            raise SystemExit(f"--only: unknown entries {sorted(bad)} "
+                             f"(valid: bw, color, {sorted(names)})")
+        for name, rel, structure, published in IMAGES:
+            mode = Image.open(os.path.join(RATED_DIR, rel)).mode
+            stack = "bw" if mode == "L" else "color"
+            if name in toks or stack in toks:
+                selected.append((name, rel, structure, published))
+    else:
+        selected = list(IMAGES)
+
     results = {}
     print(f"{'image':18s} {'published':>9s} {'ours':>9s}  n_vec")
-    for name, rel, structure, published in IMAGES:
+    for name, rel, structure, published in selected:
         path = os.path.join(RATED_DIR, rel)
         mode = Image.open(path).mode
         channels = BW if mode == "L" else COLOR
@@ -96,14 +118,20 @@ def main(argv=None):
         results[n]["ours"]
         for n in ("rotate_01", "rotate_02", "expand_01", "expand_02",
                   "color_01_expand", "color_02_expand")
+        if n in results
     ]
-    control = results["control"]["ours"]
-    ordering_ok = all(control < s for s in circles) and control < results[
-        "manyfish"
-    ]["ours"]
-    sep = (min(circles) - control) if circles else 0.0
-    print(f"\ncontrol strictly lowest: {ordering_ok}")
-    print(f"min(circles) - control:  {sep:+.3f}")
+    if "control" in results:
+        control = results["control"]["ours"]
+        ordering_ok = all(control < s for s in circles) and (
+            "manyfish" not in results
+            or control < results["manyfish"]["ours"]
+        )
+        sep = (min(circles) - control) if circles else 0.0
+        print(f"\ncontrol strictly lowest: {ordering_ok}")
+        print(f"min(circles) - control:  {sep:+.3f}")
+    else:
+        ordering_ok, sep = None, None
+        print("\n(control not probed; no ordering summary)")
     if args.json:
         with open(args.json, "w") as f:
             json.dump(
