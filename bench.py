@@ -174,6 +174,44 @@ def cpu_baseline():
     return est
 
 
+def backend_alive(timeout=300.0, attempts=3, wait_between=420.0):
+    """Fast TPU liveness gate before committing to 30-min measurement runs.
+
+    The axon tunnel has two distinct failure modes (BENCH_NOTES "TPU
+    outage" section): a stale device claim (drops after ~10-12 min idle)
+    and a server-side outage (hours; every client hangs pre-execution or
+    raises UNAVAILABLE after a ~25 min RPC deadline).  A 256x256 matmul
+    in a subprocess distinguishes "up" from both within ``timeout``
+    seconds; spacing retries by ``wait_between`` (> the claim-drop idle
+    window) means a transient claim also recovers within one retry.
+    Without this gate a dead tunnel burns 3 x 30 min of silent attempts.
+    """
+    code = (
+        "import jax, jax.numpy as jnp;"
+        "x = jnp.ones((256, 256));"
+        "(x @ x).block_until_ready();"
+        "print('SMOKE_OK')"
+    )
+    for i in range(attempts):
+        try:
+            out = subprocess.run(
+                [sys.executable, "-c", code],
+                capture_output=True, text=True, timeout=timeout,
+            )
+            if "SMOKE_OK" in out.stdout:
+                return True
+            log(f"[bench] liveness probe {i}: rc={out.returncode} "
+                f"{out.stderr.strip().splitlines()[-1][:200] if out.stderr.strip() else ''}")
+        except subprocess.TimeoutExpired:
+            log(f"[bench] liveness probe {i}: no device response in "
+                f"{timeout:.0f}s")
+        if i + 1 < attempts:
+            log(f"[bench] waiting {wait_between:.0f}s (stale-claim drop "
+                "window) before reprobing")
+            time.sleep(wait_between)
+    return False
+
+
 def measure_tpu_subprocess():
     """Run the TPU measurement in a watchdogged subprocess.
 
@@ -209,6 +247,12 @@ def measure_tpu_subprocess():
 
 
 def main():
+    if not backend_alive():
+        log("[bench] TPU backend unreachable after 3 spaced liveness "
+            "probes — server-side outage (see BENCH_NOTES 'TPU outage'); "
+            "refusing to start 30-min measurement attempts")
+        raise SystemExit(2)
+    time.sleep(30)  # let the probe's device claim drop before the real run
     sec_per_gen = measure_tpu_subprocess()
     evals_per_sec = POP / sec_per_gen
     base = cpu_baseline()
