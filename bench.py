@@ -47,6 +47,11 @@ _auto_mb = "25" if W * H >= 640 * 480 else "0"
 MICROBATCH = int(os.environ.get("BENCH_MICROBATCH", _auto_mb))
 BASELINE_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                               "BASELINE_SELF.json")
+# last successful on-hardware measurement (committed): the outage fallback
+# in main() replays it clearly marked "stale" so a dead tunnel at bench
+# time doesn't erase a measurement made earlier the same round
+LAST_GOOD = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "BENCH_LAST_GOOD.json")
 
 
 def log(msg):
@@ -212,6 +217,34 @@ def backend_alive(timeout=300.0, attempts=3, wait_between=420.0):
     return False
 
 
+def emit_stale_result():
+    """Replay the last committed on-hardware result, marked stale.
+
+    Returns True if a record was printed.  Keeps a real measurement made
+    earlier in the round visible when the tunnel is down at bench time —
+    the record carries ``"stale": true`` plus its measurement timestamp,
+    so it can never be mistaken for a fresh number.
+    """
+    if not os.path.exists(LAST_GOOD):
+        return False
+    with open(LAST_GOOD) as f:
+        rec = json.load(f)
+    rec["stale"] = True
+    rec["note"] = (
+        "TPU tunnel unreachable at bench time (liveness gate); value is "
+        "the most recent on-hardware measurement, taken at "
+        f"{rec.get('measured_at', 'unknown')} — see BENCH_NOTES.md "
+        "'TPU outage'"
+    )
+    print(json.dumps(rec))
+    return True
+
+
+def write_last_good(record):
+    with open(LAST_GOOD, "w") as f:
+        json.dump(record, f, indent=2)
+
+
 def measure_tpu_subprocess():
     """Run the TPU measurement in a watchdogged subprocess.
 
@@ -251,6 +284,8 @@ def main():
         log("[bench] TPU backend unreachable after 3 spaced liveness "
             "probes — server-side outage (see BENCH_NOTES 'TPU outage'); "
             "refusing to start 30-min measurement attempts")
+        if emit_stale_result():
+            return
         raise SystemExit(2)
     time.sleep(30)  # let the probe's device claim drop before the real run
     sec_per_gen = measure_tpu_subprocess()
@@ -259,16 +294,20 @@ def main():
     vs = (base / sec_per_gen) if base else 0.0
     log(f"[bench] {sec_per_gen:.3f}s/gen ({evals_per_sec:.1f} evals/s/chip), "
         f"cpu est {base if base else float('nan')}s -> {vs:.1f}x")
-    print(
-        json.dumps(
-            {
-                "metric": f"sec_per_generation_pop{POP}_{W}x{H}",
-                "value": round(sec_per_gen, 4),
-                "unit": "s",
-                "vs_baseline": round(vs, 2),
-            }
+    record = {
+        "metric": f"sec_per_generation_pop{POP}_{W}x{H}",
+        "value": round(sec_per_gen, 4),
+        "unit": "s",
+        "vs_baseline": round(vs, 2),
+    }
+    try:
+        write_last_good(
+            dict(record, measured_at=time.strftime(
+                "%Y-%m-%dT%H:%M:%SZ", time.gmtime()))
         )
-    )
+    except OSError:
+        pass
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

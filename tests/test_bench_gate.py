@@ -56,6 +56,29 @@ def test_dead_on_hang(bench, tmp_path):
     assert time.time() - t0 < 10  # two 1-s timeouts, not 30-s sleeps
 
 
+def test_stale_fallback_replays_last_good(bench, tmp_path, capsys, monkeypatch):
+    """With the backend down, main() replays the committed last-good record
+    marked stale instead of exiting empty-handed."""
+    import json
+
+    monkeypatch.setattr(bench, "backend_alive", lambda: False)
+    bench.main()
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    rec = json.loads(line)
+    assert rec["stale"] is True
+    assert rec["metric"].startswith("sec_per_generation")
+    assert rec["value"] > 0
+    assert "measured_at" in rec and rec["measured_at"] in rec["note"]
+
+
+def test_no_last_good_exits_nonzero(bench, tmp_path, monkeypatch):
+    monkeypatch.setattr(bench, "backend_alive", lambda: False)
+    monkeypatch.setattr(bench, "LAST_GOOD", str(tmp_path / "absent.json"))
+    with pytest.raises(SystemExit) as exc:
+        bench.main()
+    assert exc.value.code == 2
+
+
 def test_recovers_on_second_probe(bench, tmp_path):
     marker = tmp_path / "second_try"
     body = (
