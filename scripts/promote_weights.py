@@ -59,6 +59,10 @@ def main(argv=None):
                    help="variant tag for the rated-probe table filename")
     p.add_argument("--cpu", action="store_true",
                    help="run the probe/cache regeneration on forced CPU")
+    p.add_argument("--allow_regression", action="store_true",
+                   help="accept rated scores below the shipped floors and "
+                        "lower them (passed through to "
+                        "cache_probe_vectors.py; an explicit fidelity trade)")
     args = p.parse_args(argv)
 
     chans = infer_channels(args.candidate)
@@ -72,12 +76,24 @@ def main(argv=None):
     print(f"[promote] {args.candidate} (stack {chans}) -> {dest}")
 
     cpu = ["--cpu"] if args.cpu else []
+    if args.allow_regression:
+        cpu = cpu + ["--allow_regression"]
     print("[promote] regenerating ordering-guard cache ...")
-    subprocess.run(
-        [sys.executable, os.path.join(REPO, "scripts",
-                                      "cache_probe_vectors.py"), *cpu],
-        check=True,
-    )
+    # The cache script ratchets gallery/ordering_floors.json and REFUSES a
+    # candidate that scores below the shipped floors (check=True aborts the
+    # promotion before the copied weights can ship behind a stale cache —
+    # the bundled file was already overwritten, so git restores it).
+    try:
+        subprocess.run(
+            [sys.executable, os.path.join(REPO, "scripts",
+                                          "cache_probe_vectors.py"), *cpu],
+            check=True,
+        )
+    except subprocess.CalledProcessError:
+        raise SystemExit(
+            "[promote] ABORTED: candidate regresses the rated floors. "
+            f"Restore the bundled file (git checkout -- {dest}) or rerun "
+            "with --allow_regression to accept the trade.")
 
     table = os.path.join(REPO, "gallery", f"rated_probe_{args.tag}.json")
     print(f"[promote] regenerating rated-probe table {table} ...")

@@ -61,3 +61,60 @@ def test_unknown_stack_refused(promote, tmp_path):
     )  # stack (2,) — no bundled prednet_2.npz
     with pytest.raises(SystemExit):
         promote.main([str(cand), "--tag", "test"])
+
+
+@pytest.fixture(scope="module")
+def cachemod():
+    spec = importlib.util.spec_from_file_location(
+        "cache_probe_vectors",
+        os.path.join(os.path.dirname(SCRIPT), "cache_probe_vectors.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+class TestRatchetFloors:
+    OLD = {"rotate_01": 0.407, "manyfish": 0.561}
+
+    def test_floors_only_move_up(self, cachemod):
+        new, reg = cachemod.ratchet_floors(
+            self.OLD, {"rotate_01": 0.650, "manyfish": 0.620}, 0.005
+        )
+        assert not reg
+        assert new["rotate_01"] == 0.645
+        assert new["manyfish"] == 0.615
+
+    def test_regression_reported_and_floor_held(self, cachemod):
+        new, reg = cachemod.ratchet_floors(
+            self.OLD, {"rotate_01": 0.314, "manyfish": 0.620}, 0.005
+        )
+        assert reg == [("rotate_01", 0.407, 0.314)]
+        # without allow_regression the old floor stands (caller aborts)
+        assert new["rotate_01"] == 0.407
+        assert new["manyfish"] == 0.615
+
+    def test_allow_regression_lowers_floor(self, cachemod):
+        new, reg = cachemod.ratchet_floors(
+            self.OLD, {"rotate_01": 0.314, "manyfish": 0.620}, 0.005,
+            allow_regression=True,
+        )
+        assert reg == [("rotate_01", 0.407, 0.314)]
+        assert new["rotate_01"] == 0.309
+
+    def test_new_image_gets_a_floor(self, cachemod):
+        new, reg = cachemod.ratchet_floors({}, {"expand_01": 0.402}, 0.005)
+        assert not reg
+        assert new["expand_01"] == 0.397
+
+    def test_control_excluded(self, cachemod):
+        new, reg = cachemod.ratchet_floors({}, {"control": 0.0}, 0.005)
+        assert not reg and new == {}
+
+    def test_small_gain_within_margin_keeps_old_floor(self, cachemod):
+        # score 0.408 on floor 0.407: candidate 0.403 < old -> hold 0.407
+        new, reg = cachemod.ratchet_floors(
+            {"rotate_01": 0.407}, {"rotate_01": 0.408}, 0.005
+        )
+        assert not reg
+        assert new["rotate_01"] == 0.407
