@@ -54,9 +54,42 @@ MODELS = {
     },
 }
 
+#: Sidecar pin file, written automatically after the first VERIFIED fetch
+#: (md5 matched figshare's supplied_md5).  Commit it to make the pin
+#: permanent; entries here override the (None) pins in MODELS.
+PINS_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "model_checksums.json")
+
+
+def load_pins(pins_file: str = PINS_FILE) -> dict:
+    if os.path.exists(pins_file):
+        with open(pins_file) as f:
+            return json.load(f)
+    return {}
+
+
+def save_pin(name: str, sha256: str, md5: str,
+             pins_file: str = PINS_FILE) -> None:
+    pins = load_pins(pins_file)
+    pins[name] = {"sha256": sha256, "md5": md5}
+    with open(pins_file, "w") as f:
+        json.dump(pins, f, indent=2, sort_keys=True)
+        f.write("\n")
+
 
 def sha256_file(path: str, chunk: int = 1 << 20) -> str:
     h = hashlib.sha256()
+    with open(path, "rb") as f:
+        while True:
+            b = f.read(chunk)
+            if not b:
+                break
+            h.update(b)
+    return h.hexdigest()
+
+
+def md5_file(path: str, chunk: int = 1 << 20) -> str:
+    h = hashlib.md5()
     with open(path, "rb") as f:
         while True:
             b = f.read(chunk)
@@ -90,16 +123,21 @@ def main(argv=None) -> int:
     p.add_argument("--timeout", type=float, default=60.0)
     p.add_argument("--force", action="store_true",
                    help="re-download even if the file exists")
+    p.add_argument("--pins", default=PINS_FILE,
+                   help="checksum pin file (written after first verified "
+                        "fetch, read on every run)")
     args = p.parse_args(argv)
 
     os.makedirs(args.out, exist_ok=True)
+    pins = load_pins(args.pins)
     failures = 0
     for name, spec in MODELS.items():
+        pinned_sha = pins.get(name, {}).get("sha256") or spec["sha256"]
         dest = os.path.join(args.out, name)
         if os.path.exists(dest) and not args.force:
             digest = sha256_file(dest)
             status = "ok"
-            if spec["sha256"] and digest != spec["sha256"]:
+            if pinned_sha and digest != pinned_sha:
                 status = "CHECKSUM MISMATCH"
                 failures += 1
             print(f"[fetch] {name}: exists, sha256={digest} ({status})")
@@ -133,14 +171,31 @@ def main(argv=None) -> int:
             failures += 1
             continue
         digest = sha256_file(dest)
-        if spec["sha256"] and digest != spec["sha256"]:
+        if pinned_sha and digest != pinned_sha:
             print(
-                f"[fetch] {name}: sha256 {digest} != pinned {spec['sha256']}",
+                f"[fetch] {name}: sha256 {digest} != pinned {pinned_sha}",
                 file=sys.stderr,
             )
             failures += 1
             continue
-        pin = "" if spec["sha256"] else "  (unpinned — add to MODELS to pin)"
+        # integrity on FIRST fetch: figshare's API supplies the md5 it
+        # computed at upload time — verify before self-pinning
+        supplied = match.get("supplied_md5") or match.get("computed_md5")
+        got_md5 = md5_file(dest)
+        if supplied and got_md5 != supplied:
+            print(
+                f"[fetch] {name}: md5 {got_md5} != figshare's "
+                f"supplied_md5 {supplied} — corrupt download",
+                file=sys.stderr,
+            )
+            failures += 1
+            continue
+        if not pinned_sha:
+            save_pin(name, digest, got_md5, args.pins)
+            pin = (f"  (pinned -> {os.path.basename(args.pins)}; commit it "
+                   f"to make permanent)")
+        else:
+            pin = ""
         print(f"[fetch] {name}: downloaded, sha256={digest}{pin}")
         print(f"[fetch]   import: load_chainer_model({dest!r}, "
               f"({spec['channels']}), half_order='auto')")
