@@ -114,3 +114,22 @@ def test_published_ordering_holds(cache):
             "deliberate, rerun scripts/cache_probe_vectors.py "
             "--allow_regression",
         )
+
+
+@pytest.mark.xfail(
+    strict=False,
+    reason="v6 fidelity target (VERDICT r3): the published table has every "
+    "circles image (0.80-0.82) above manyfish (0.650); the shipped "
+    "stand-ins invert this (manyfish 0.566 > circles max 0.454). When a "
+    "promotion makes this pass, remove the xfail to make it a hard guard.",
+)
+def test_published_pairwise_order_target(cache):
+    """Published family order: every circles image above manyfish."""
+    scores = {}
+    for name in _names(cache):
+        _structure, _published, recorded = cache[f"meta/{name}"]
+        scores[name] = float(recorded)
+    manyfish = scores.pop("manyfish")
+    scores.pop("control")
+    for name, s in scores.items():
+        assert s > manyfish, (name, s, manyfish)
