@@ -118,7 +118,7 @@ class TestExtinctionReset:
 
 class TestSpeciationSplitsAtReferenceThreshold:
     """VERDICT r3 weak #6: single-species runs are CORRECT NEAT behavior,
-    not a distance bug.  Measured (scripts/speciation_analysis section of
+    not a distance bug.  Measured (scripts/speciation_analysis.py; written up in
     ROADMAP.md): within an interbreeding circles_bw population pairwise
     distances saturate at ~1.7-2.2 — below the 3.0 threshold — because
     crossover keeps gene flow inside one compatibility ball; two ISOLATED
