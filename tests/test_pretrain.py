@@ -471,3 +471,71 @@ def test_cue_period_pretrain_smoke():
         ring_closed_scale=0.5, cue_period_range=(6.0, 40.0),
     )
     assert np.isfinite(loss)
+
+
+def test_tang_radial_contracts_instead_of_rotating():
+    """v6d mode: the wedge-ring class's ring structure drifts radially
+    inward while the angular wedge layout stays put (synthetic_data.py
+    ``tang_radial``; rationale measured in BENCH_NOTES "v6ab")."""
+    import jax
+
+    from evolutionary_illusion_generator_tpu.models.prednet.synthetic_data import (
+        synthetic_cue_batch,
+    )
+
+    p = (0.0, 0.0, 0.0, 0.0, 1.0, 0.0, 0.0)  # tangential regime only
+    h = w = 64
+    T = 6
+    f = np.asarray(
+        synthetic_cue_batch(
+            jax.random.PRNGKey(7), 8, T, h, w, 1,
+            regime_probs=p, cue_speed_range=(1.0, 1.0), tang_radial=True,
+        )
+    )[..., 0]
+    # moves at all
+    assert np.abs(np.diff(f, axis=1)).max() > 1e-3
+
+    yy, xx = np.mgrid[0:h, 0:w]
+    inward_votes = 0
+    rot_zero_votes = 0
+    for b in range(f.shape[0]):
+        # the per-sample centre is jittered; locate it by the darkest ring
+        # gradient centroid — close enough to use the frame's mass centre
+        # of the inverted image inside the disc
+        img0, img1 = f[b, 0], f[b, T - 1]
+        cy, cx = h / 2, w / 2
+        r = np.hypot(yy - cy, xx - cx)
+        # radial profile: mean value per 1-px radius bin
+        nbins = int(r.max()) + 1
+        def prof(img):
+            s = np.bincount(r.astype(int).ravel(), img.ravel(), nbins)
+            c = np.bincount(r.astype(int).ravel(), minlength=nbins)
+            return s / np.maximum(c, 1)
+        p0, p1 = prof(img0), prof(img1)
+        lo, hi = 10, 28  # inside the disc, away from centre mask
+        # inward contraction by s px/frame: content at radius r at t came
+        # from r + s*t at 0 — the late profile matches the early one
+        # sampled OUTWARD
+        best = min(
+            range(0, 9),
+            key=lambda s: np.mean((p1[lo:hi] - p0[lo + s:hi + s]) ** 2),
+        )
+        if best >= 2:
+            inward_votes += 1
+        # no rotation: angular profile at a fixed radius band best aligns
+        # at zero circular shift
+        band = (r >= 16) & (r < 24)
+        nang = 72
+        ang = ((np.arctan2(yy - cy, xx - cx) + np.pi) / (2 * np.pi) * nang)
+        ang = np.minimum(ang.astype(int), nang - 1)
+        def aprof(img):
+            s = np.bincount(ang[band], img[band], nang)
+            c = np.bincount(ang[band], minlength=nang)
+            return s / np.maximum(c, 1)
+        a0, a1 = aprof(img0), aprof(img1)
+        errs = [np.mean((a1 - np.roll(a0, k)) ** 2) for k in range(nang)]
+        kbest = int(np.argmin(errs))
+        if kbest == 0 or kbest >= nang - 1:
+            rot_zero_votes += 1
+    assert inward_votes >= 5, inward_votes
+    assert rot_zero_votes >= 5, rot_zero_votes
