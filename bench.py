@@ -101,6 +101,9 @@ def measure_generation(pop, reps, backend_note=""):
         # BENCH_INT8=1: int8-quantized predictor convs (2x MXU throughput,
         # quantization noise on the drift signal — EvalConfig.prednet_int8)
         prednet_int8=os.environ.get("BENCH_INT8", "0") == "1",
+        # BENCH_S2D=1: pixel-layer convs/states in space-to-depth layout
+        # (MXU lane packing — EvalConfig.s2d_l0)
+        s2d_l0=os.environ.get("BENCH_S2D", "0") == "1",
         microbatch=MICROBATCH,
     )
     evaluator = GenerationEvaluator(cfg, params, neat_cfg)

@@ -103,6 +103,13 @@ class EvalConfig:
     # the FLOPs of that conv and no upsampled intermediate in HBM, at
     # bf16-rounding-level numeric drift.
     subpixel_up: bool = False
+    # Pixel-layer convs/states in space-to-depth layout (models/prednet/
+    # model.py::_s2d_kernel): PredNet's layer-0 channel counts (1-57) pad
+    # to the MXU's 128 lanes at ~4-10% utilization; 4x channels at 1/4 the
+    # spatial size do the same nominal FLOPs densely packed.  Same math up
+    # to accumulation-order rounding; opt-in behind the rated-probe
+    # ordering gate like the other layout experiments (BENCH_NOTES.md).
+    s2d_l0: bool = False
     # predictor compute dtype: "bfloat16" halves the rollout's post-conv
     # bandwidth (the generation's dominant cost); "float32" for exact
     # predictor numerics
@@ -266,6 +273,7 @@ class GenerationEvaluator:
                 use_pallas=cfg.use_pallas,
                 compute_dtype=jnp.dtype(cfg.prednet_dtype),
                 subpixel_up=cfg.subpixel_up,
+                s2d_l0=cfg.s2d_l0,
             )
             vectors, vmask = batched_flow(f0, f1, cfg.flow)
             out = {

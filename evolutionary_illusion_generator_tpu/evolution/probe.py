@@ -56,6 +56,7 @@ def get_vectors(
     seed: int = 0,
     quantize: bool = True,
     int8: bool = False,
+    s2d: bool = False,
 ):
     """Flow vectors for one image through the probe pipeline.
 
@@ -71,6 +72,10 @@ def get_vectors(
     (models/prednet/model.py::quantize_params_int8) — the fidelity gate for
     promoting ``EvalConfig.prednet_int8``.
 
+    ``s2d=True`` runs the pixel layer in space-to-depth layout
+    (models/prednet/model.py::_s2d_kernel) — the fidelity gate for
+    ``EvalConfig.s2d_l0``.
+
     Returns an (N, 4) numpy array of [x, y, dx, dy] rows (empty when
     nothing was trackable — the reference returns ``[None]`` then).
     """
@@ -84,7 +89,8 @@ def get_vectors(
     img = load_image(image_path, size=(w, h), c_dim=c_dim)
     batch = jnp.asarray(img)[None]
     f0, f1 = rollout_flow_frames(
-        params, batch, repeat=repeat, extension=extension, pair="probe"
+        params, batch, repeat=repeat, extension=extension, pair="probe",
+        s2d_l0=s2d,
     )
     f0, f1 = np.asarray(f0[0]), np.asarray(f1[0])
     if quantize:
@@ -134,11 +140,14 @@ def main(argv: Optional[List[str]] = None) -> int:
     parser.add_argument("--int8", action="store_true",
                         help="int8-quantized predictor convs (extension; "
                         "2x MXU throughput, see BENCH_NOTES.md)")
+    parser.add_argument("--s2d", action="store_true",
+                        help="space-to-depth pixel layer (extension; MXU "
+                        "lane packing, see BENCH_NOTES.md)")
     args = parser.parse_args(argv)
 
     channels = tuple(int(x) for x in args.channels.split(","))
     vectors = get_vectors(args.input_image, args.model or None, channels,
-                          int8=args.int8)
+                          int8=args.int8, s2d=args.s2d)
     if vectors.size == 0:
         print("score", 0.0)
         return 0

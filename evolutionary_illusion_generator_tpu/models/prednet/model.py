@@ -111,11 +111,18 @@ def init_state(
     w: int,
     channels: Sequence[int] = (3, 48, 96, 192),
     dtype=jnp.bfloat16,
+    s2d_l0: bool = False,
 ):
-    """Zero recurrent state: per layer (R, c, E) at 1/2^l resolution."""
+    """Zero recurrent state: per layer (R, c, E) at 1/2^l resolution.
+
+    With ``s2d_l0`` the pixel layer's tensors live in phase-major
+    space-to-depth layout (B, h/2, w/2, 4C) for the whole rollout (see
+    :func:`_s2d_kernel`); zeros are zeros in either layout."""
     state = []
     for l, C in enumerate(channels):
         hl, wl = h // (2**l), w // (2**l)
+        if l == 0 and s2d_l0:
+            hl, wl, C = hl // 2, wl // 2, 4 * C
         state.append(
             {
                 "r": jnp.zeros((batch, hl, wl, C), dtype),
@@ -287,6 +294,83 @@ def _upconv_subpixel(x, w, out_dtype=jnp.float32):
     return z.reshape(b, 2 * h, 2 * wd, c)
 
 
+def _s2d(x):
+    """Space-to-depth(2), phase-major: (B, H, W, C) -> (B, H/2, W/2, 4C)
+    with output channel ``(2*dy + dx) * C + c`` holding full-res pixel
+    ``(2i+dy, 2j+dx, c)``."""
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // 2, 2, w // 2, 2, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, h // 2, w // 2, 4 * c)
+
+
+def _d2s(x):
+    """Inverse of :func:`_s2d`."""
+    b, h2, w2, c4 = x.shape
+    c = c4 // 4
+    x = x.reshape(b, h2, w2, 2, 2, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, 2 * h2, 2 * w2, c)
+
+
+def _s2d_kernel(w):
+    """Lift a full-res 3x3 SAME conv kernel to s2d space:
+    ``conv_same(_s2d(x), K) == _s2d(conv_same(x, w))`` exactly.
+
+    Derivation: full-res output row ``2i+dy`` tap ``u`` reads row
+    ``2i+dy+u = 2(i+qy)+py`` — i.e. s2d row offset ``qy`` phase ``py``
+    with ``u = 2*qy + py - dy``; only ``u in {-1,0,1}`` entries are
+    nonzero (9 of the 36 tap-phase combinations per output phase), the
+    rest of the lifted 3x3x(4Cin)x(4Cout) kernel is zeros.  The point is
+    MXU lane packing: PredNet's pixel layer has 1-57 channels, which pad
+    to 128 lanes (~4-10% utilization at 640x480 — the measured rollout
+    is ~5x off its FLOP roofline, phase_bench r4); 4x channels at 1/4
+    the spatial size does the same nominal FLOPs at 2-4x the packed
+    density, and the zeros ride along for free inside the padding that
+    would have been there anyway.
+    """
+    kh, kw, cin, cout = w.shape
+    assert (kh, kw) == (3, 3), (kh, kw)
+    K = jnp.zeros((3, 3, 4 * cin, 4 * cout), w.dtype)
+    for dy in range(2):
+        for dx in range(2):
+            for py in range(2):
+                for px in range(2):
+                    for qy in (-1, 0, 1):
+                        u = 2 * qy + py - dy
+                        if not -1 <= u <= 1:
+                            continue
+                        for qx in (-1, 0, 1):
+                            v = 2 * qx + px - dx
+                            if not -1 <= v <= 1:
+                                continue
+                            pi = (2 * py + px) * cin
+                            po = (2 * dy + dx) * cout
+                            K = K.at[
+                                qy + 1, qx + 1,
+                                pi : pi + cin, po : po + cout,
+                            ].set(w[u + 1, v + 1])
+    return K
+
+
+def _s2d_kernel_tiled(w):
+    """s2d kernel for an input that is CONSTANT across phases (the
+    top-down nearest-upsampled R_above: all four full-res phases equal
+    the coarse pixel).  Summing the lifted kernel's input-phase blocks
+    folds the 4x tile away: conv(r_above, K_tiled) ==
+    conv(tile(r_above, 4), _s2d_kernel(w)) — and no upsampled
+    intermediate exists at all."""
+    kh, kw, cin, cout = w.shape
+    K = _s2d_kernel(w)
+    return K.reshape(kh, kw, 4, cin, 4 * cout).sum(axis=2)
+
+
+def _tile4(b):
+    """Bias for a phase-major s2d conv output: the same per-channel bias
+    in each of the four phase blocks."""
+    return jnp.tile(b, 4)
+
+
 def _maxpool2(x):
     return jax.lax.reduce_window(
         x,
@@ -349,6 +433,23 @@ def _apply_gates(gates, c_prev, use_pallas, peephole=None):
     return _lstm_gates_jnp(gates, c_prev, peephole)
 
 
+def _s2d_ok(params: PredNetParams, h: int, w: int) -> bool:
+    """Whether the s2d pixel-layer path applies: float 3x3 weights, even
+    spatial dims, and no SPATIAL peephole at layer 0 (per-channel (C,)
+    peepholes broadcast fine across the phase axis; imported (H, W, C)
+    EltFilter peepholes would need their own lifting)."""
+    if _is_quantized(params):
+        return False
+    if params[0]["lstm_w"].shape[:2] != (3, 3):
+        return False
+    if h % 2 or w % 2:
+        return False
+    w_ci = params[0].get("w_ci")
+    if w_ci is not None and getattr(w_ci, "ndim", 1) == 3:
+        return False
+    return True
+
+
 def prednet_step(
     params: PredNetParams,
     state,
@@ -357,6 +458,7 @@ def prednet_step(
     use_pallas: bool = False,
     compute_dtype=jnp.float32,
     subpixel_up: bool = False,
+    s2d_l0: bool = False,
 ):
     """One PredNet timestep.
 
@@ -372,18 +474,28 @@ def prednet_step(
         parity 2x2 convs at the coarse resolution (:func:`_upconv_subpixel`)
         — 4/9 the FLOPs, no upsampled intermediate in HBM, bf16-rounding
         numeric drift only.
+      s2d_l0: the pixel layer's convs, states, frame and prediction live in
+        phase-major space-to-depth layout (see :func:`_s2d_kernel` for the
+        MXU-packing rationale).  CALLER CONTRACT: ``state[0]`` from
+        ``init_state(..., s2d_l0=True)``, ``frame`` is ``_s2d(image)``, and
+        the returned prediction is s2d-packed (callers :func:`rollout` /
+        :func:`rollout_flow_frames` handle both sides).  Same math as the
+        default path up to f32/bf16 accumulation-order rounding.
     Returns:
-      (new_state, prediction) with prediction (B, H, W, C0) f32 in [0, 1].
+      (new_state, prediction) with prediction (B, H, W, C0) f32 in [0, 1]
+      ((B, H/2, W/2, 4*C0) s2d-packed under ``s2d_l0``).
     """
     L = len(params)
     dtype = state[0]["r"].dtype
     cd = compute_dtype
     quantized = _is_quantized(params)
     if quantized:
-        # int8 params carry their own conv path; the Pallas kernels and the
-        # subpixel decomposition assume float weights
+        # int8 params carry their own conv path; the Pallas kernels, the
+        # subpixel decomposition and the s2d pixel layer assume float
+        # weights
         use_pallas = False
         subpixel_up = False
+        s2d_l0 = False
 
     # ---- top-down recurrent pass -------------------------------------
     # The gate conv is computed as a SUM of per-source convs (weight slices
@@ -395,7 +507,10 @@ def prednet_step(
     for l in reversed(range(L)):
         s = state[l]
         w = params[l]["lstm_w"]
-        C = s["r"].shape[-1]
+        s2d_here = s2d_l0 and l == 0
+        # under s2d the layer-0 state carries 4*C packed channels; the
+        # weight slicing below needs the TRUE per-layer channel count
+        C = params[l]["ahat_w"].shape[2] if s2d_here else s["r"].shape[-1]
         peephole = None
         if "w_ci" in params[l]:
             peephole = {k: params[l][k] for k in ("w_ci", "w_cf", "w_co")}
@@ -476,6 +591,29 @@ def prednet_step(
                     None, cd,
                 )
             h, c = _apply_gates(gates, s["c"], use_pallas, peephole)
+        elif s2d_here:
+            # pixel layer in s2d layout: lifted 3x3 convs over 4x-packed
+            # channels, top-down tile folded into the kernel (no upsample
+            # intermediate), gate math per (phase, channel)
+            gates = _conv(
+                s["e"], _s2d_kernel(w[:, :, : 2 * C]),
+                _tile4(params[l]["lstm_b"]), cd,
+            )
+            gates = gates + _conv_nobias(
+                s["r"], _s2d_kernel(w[:, :, 2 * C : 3 * C]), cd
+            )
+            if r_above is not None:
+                gates = gates + _conv_nobias(
+                    r_above, _s2d_kernel_tiled(w[:, :, 3 * C :]), cd
+                )
+            bsz, h2, w2 = gates.shape[:3]
+            h4, c4 = _lstm_gates_jnp(
+                gates.reshape(bsz, h2, w2, 4, 4 * C),
+                s["c"].reshape(bsz, h2, w2, 4, C),
+                peephole,
+            )
+            h = h4.reshape(bsz, h2, w2, 4 * C)
+            c = c4.reshape(bsz, h2, w2, 4 * C)
         else:
             w_e = w[:, :, : 2 * C]
             w_r = w[:, :, 2 * C : 3 * C]
@@ -500,6 +638,34 @@ def prednet_step(
     prediction = None
     for l in range(L):
         r = new_state[l]["r"]
+        if l == 0 and s2d_l0:
+            C0 = params[0]["ahat_w"].shape[2]
+            ahat = _conv(
+                r, _s2d_kernel(params[0]["ahat_w"]),
+                _tile4(params[0]["ahat_b"]), cd,
+            )
+            ahat = jnp.clip(ahat, 0.0, 1.0)  # SatLU at the pixel layer
+            prediction = ahat.astype(jnp.float32)  # s2d-packed
+            bsz, h2, w2 = ahat.shape[:3]
+            ah4 = ahat.reshape(bsz, h2, w2, 4, C0)
+            a4 = a.reshape(bsz, h2, w2, 4, C0)
+            # [pos; neg] inside each phase block == _s2d of the full-res
+            # [pos(C0); neg(C0)] concat
+            e = jnp.concatenate(
+                [jax.nn.relu(ah4 - a4), jax.nn.relu(a4 - ah4)], axis=-1
+            ).reshape(bsz, h2, w2, 8 * C0)
+            new_state[0]["e"] = e.astype(dtype)
+            if L > 1:
+                # maxpool2(relu(conv3x3(E0))) == per-cell max over the four
+                # phase blocks of the lifted conv — A_1 comes out directly
+                # in layer 1's own (H/2, W/2) layout, no relayout
+                c1 = params[0]["a_w"].shape[3]
+                a1 = _conv(
+                    e.astype(dtype), _s2d_kernel(params[0]["a_w"]),
+                    _tile4(params[0]["a_b"]), cd,
+                )
+                a = jax.nn.relu(a1).reshape(bsz, h2, w2, 4, c1).max(axis=3)
+            continue
         if quantized:
             ahat = _conv_q(
                 r.astype(cd), params[l]["ahat_w"], params[l]["ahat_w_s"],
@@ -546,6 +712,7 @@ def rollout(
     use_pallas: bool = False,
     compute_dtype=jnp.float32,
     subpixel_up: bool = False,
+    s2d_l0: bool = False,
 ):
     """Run the reference's repeated-frame + closed-loop-extension schedule.
 
@@ -567,9 +734,17 @@ def rollout(
     channels = [p["ahat_w"].shape[2] for p in params]
     assert channels[0] == C0, (channels, C0)
     T = repeat + extension
-    state0 = init_state(B, H, W, channels, dtype=_state_dtype(params))
+    s2d_l0 = s2d_l0 and _s2d_ok(params, H, W)
+    state0 = init_state(
+        B, H, W, channels, dtype=_state_dtype(params), s2d_l0=s2d_l0
+    )
     collect = tuple(sorted(collect))
     frames32 = images.astype(jnp.float32)
+    if s2d_l0:
+        # the whole rollout runs s2d-packed at the pixel layer; pack the
+        # input once here and unpack only the collected predictions
+        frames32 = _s2d(frames32)
+    unpack = _d2s if s2d_l0 else (lambda x: x)
 
     if not collect or min(collect) >= repeat - 1:
         # Fast path (covers both flow-pair conventions, which only need the
@@ -583,29 +758,31 @@ def rollout(
             state, pred = prednet_step(
                 params, state, frames32, use_pallas=use_pallas,
                 compute_dtype=compute_dtype, subpixel_up=subpixel_up,
+                s2d_l0=s2d_l0,
             )
             return (state, pred), None
 
         (state, pred), _ = jax.lax.scan(
             step_open,
-            (state0, jnp.zeros((B, H, W, C0), jnp.float32)),
+            (state0, jnp.zeros(frames32.shape, jnp.float32)),
             None,
             length=repeat,
         )
         saved = {}
         if repeat - 1 in collect:
-            saved[repeat - 1] = pred
+            saved[repeat - 1] = unpack(pred)
         for t in range(repeat, T):
             state, pred = prednet_step(
                 params, state, pred, use_pallas=use_pallas,
                 compute_dtype=compute_dtype, subpixel_up=subpixel_up,
+                s2d_l0=s2d_l0,
             )
             if t in collect:
-                saved[t] = pred
+                saved[t] = unpack(pred)
         return {"predictions": saved, "final_state": state}
 
     # general path: arbitrary collect times via masked per-step saves
-    saved0 = {t: jnp.zeros((B, H, W, C0), jnp.float32) for t in collect}
+    saved0 = {t: jnp.zeros(frames32.shape, jnp.float32) for t in collect}
 
     def step(carry, t):
         state, prev_pred, saved = carry
@@ -613,13 +790,17 @@ def rollout(
         state, pred = prednet_step(
             params, state, frame, use_pallas=use_pallas,
             compute_dtype=compute_dtype, subpixel_up=subpixel_up,
+            s2d_l0=s2d_l0,
         )
         saved = {k: jnp.where(t == k, pred, v) for k, v in saved.items()}
         return (state, pred, saved), None
 
     init = (state0, frames32, saved0)
     (state, _, saved), _ = jax.lax.scan(step, init, jnp.arange(T))
-    return {"predictions": saved, "final_state": state}
+    return {
+        "predictions": {k: unpack(v) for k, v in saved.items()},
+        "final_state": state,
+    }
 
 
 def rollout_flow_frames(
@@ -632,6 +813,7 @@ def rollout_flow_frames(
     use_pallas: bool = False,
     compute_dtype=jnp.float32,
     subpixel_up: bool = False,
+    s2d_l0: bool = False,
 ):
     """Return the two frames the flow stage compares.
 
@@ -650,6 +832,7 @@ def rollout_flow_frames(
             collect=(repeat - 1, repeat),
             use_pallas=use_pallas,
             compute_dtype=compute_dtype, subpixel_up=subpixel_up,
+            s2d_l0=s2d_l0,
         )
         return out["predictions"][repeat - 1], out["predictions"][repeat]
     if pair == "probe":
@@ -661,6 +844,7 @@ def rollout_flow_frames(
             collect=(repeat + 1,),
             use_pallas=use_pallas,
             compute_dtype=compute_dtype, subpixel_up=subpixel_up,
+            s2d_l0=s2d_l0,
         )
         return images.astype(jnp.float32), out["predictions"][repeat + 1]
     raise ValueError(f"unknown pair convention: {pair!r}")

@@ -48,6 +48,9 @@ def main(argv=None):
     p.add_argument("--int8", action="store_true",
                    help="int8-quantize the predictors (the promotion gate "
                         "for EvalConfig.prednet_int8)")
+    p.add_argument("--s2d", action="store_true",
+                   help="space-to-depth pixel layer (the promotion gate "
+                        "for EvalConfig.s2d_l0)")
     p.add_argument("--only", default="",
                    help="comma-separated subset: image names and/or the "
                         "shorthands 'bw' / 'color' (stack-filtered probes "
@@ -99,7 +102,7 @@ def main(argv=None):
         channels = BW if mode == "L" else COLOR
         model = args.model_bw if mode == "L" else args.model_color
         vectors = get_vectors(path, model, channels, 160, 120,
-                              int8=args.int8)
+                              int8=args.int8, s2d=args.s2d)
         score = (
             0.0
             if vectors.size == 0

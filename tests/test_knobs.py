@@ -90,3 +90,46 @@ def test_tensorboard_reporter_writes_events(tmp_path):
     rep.close()
     events = [f for f in os.listdir(log_dir) if "tfevents" in f]
     assert events, os.listdir(log_dir)
+
+
+def test_s2d_evaluator_smoke_and_score_parity():
+    """EvalConfig.s2d_l0 evaluates end-to-end; at f32 predictor dtype the
+    layout change is accumulation-order-only, so tiny-config scores match
+    the default path bit-for-bit after the flow stage's own rounding."""
+    from random import Random
+
+    import jax
+    import numpy as np
+
+    from evolutionary_illusion_generator_tpu.evolution.evaluator import (
+        EvalConfig,
+        GenerationEvaluator,
+    )
+    from evolutionary_illusion_generator_tpu.models.prednet import init_params
+    from evolutionary_illusion_generator_tpu.neat.config import preset
+    from evolutionary_illusion_generator_tpu.neat.genome import Genome
+    from evolutionary_illusion_generator_tpu.ops.flow import FlowConfig
+    from evolutionary_illusion_generator_tpu.structure import StructureType
+
+    neat_cfg = preset("circles").replace(num_hidden=4)
+    params = init_params(jax.random.PRNGKey(0), (3, 4, 8))
+    base = dict(
+        structure=StructureType.Circles,
+        w=48,
+        h=40,
+        c_dim=3,
+        flow=FlowConfig(max_corners=16, win=9, levels=2, iters=4),
+        repeat=4,
+        prednet_dtype="float32",
+        program_cache=False,
+    )
+    rng = Random(0)
+    genomes = [Genome.new(i, neat_cfg, rng) for i in range(4)]
+    pairs = [(g.key, g) for g in genomes]
+    plain = np.asarray(GenerationEvaluator(
+        EvalConfig(**base), params, neat_cfg)(pairs))
+    s2d = np.asarray(GenerationEvaluator(
+        EvalConfig(**base, s2d_l0=True), params, neat_cfg)(pairs))
+    assert s2d.shape == plain.shape
+    assert np.all(np.isfinite(s2d))
+    np.testing.assert_allclose(s2d, plain, rtol=1e-4, atol=1e-4)

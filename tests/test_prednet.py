@@ -174,3 +174,97 @@ class TestSubpixelUpconv:
             np.testing.assert_allclose(
                 np.asarray(u), np.asarray(v), rtol=0.05, atol=0.02
             )
+
+
+class TestS2dPixelLayer:
+    def test_s2d_roundtrip(self):
+        from evolutionary_illusion_generator_tpu.models.prednet.model import (
+            _d2s,
+            _s2d,
+        )
+
+        x = jax.random.normal(jax.random.PRNGKey(3), (2, 8, 12, 5))
+        np.testing.assert_array_equal(np.asarray(_d2s(_s2d(x))), np.asarray(x))
+
+    def test_lifted_kernel_matches_full_res_conv(self):
+        """conv_same(_s2d(x), _s2d_kernel(w)) == _s2d(conv_same(x, w))."""
+        from evolutionary_illusion_generator_tpu.models.prednet.model import (
+            _conv_nobias,
+            _s2d,
+            _s2d_kernel,
+        )
+
+        k1, k2 = jax.random.split(jax.random.PRNGKey(11))
+        x = jax.random.normal(k1, (2, 10, 14, 3), jnp.float32)
+        w = jax.random.normal(k2, (3, 3, 3, 7), jnp.float32)
+        ref = _s2d(_conv_nobias(x, w, jnp.float32))
+        got = _conv_nobias(_s2d(x), _s2d_kernel(w), jnp.float32)
+        assert got.shape == ref.shape
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5
+        )
+
+    def test_lifted_tiled_kernel_matches_upsample_conv(self):
+        """conv(x, _s2d_kernel_tiled(w)) == _s2d(conv3x3(NN-up2(x), w))."""
+        from evolutionary_illusion_generator_tpu.models.prednet.model import (
+            _conv_nobias,
+            _s2d,
+            _s2d_kernel_tiled,
+            _upsample2,
+        )
+
+        k1, k2 = jax.random.split(jax.random.PRNGKey(13))
+        x = jax.random.normal(k1, (2, 6, 9, 4), jnp.float32)
+        w = jax.random.normal(k2, (3, 3, 4, 8), jnp.float32)
+        ref = _s2d(_conv_nobias(_upsample2(x), w, jnp.float32))
+        got = _conv_nobias(x, _s2d_kernel_tiled(w), jnp.float32)
+        assert got.shape == ref.shape
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5
+        )
+
+    def test_rollout_parity_f32(self, images):
+        """s2d_l0 rollout == default rollout to f32 accumulation-order
+        tolerance (f32 params isolate the layout change from bf16 noise),
+        both flow-pair conventions."""
+        p32 = init_params(jax.random.PRNGKey(0), CHANNELS, dtype=jnp.float32)
+        for pair in ("population", "probe"):
+            a = rollout_flow_frames(
+                p32, images, repeat=4, extension=2, pair=pair,
+                compute_dtype=jnp.float32,
+            )
+            b = rollout_flow_frames(
+                p32, images, repeat=4, extension=2, pair=pair,
+                compute_dtype=jnp.float32, s2d_l0=True,
+            )
+            for u, v in zip(a, b):
+                assert u.shape == v.shape
+                np.testing.assert_allclose(
+                    np.asarray(u), np.asarray(v), rtol=1e-4, atol=1e-5
+                )
+
+    def test_rollout_parity_bf16(self, params, images):
+        """At the production bf16 dtype the drift stays rounding-level."""
+        a = rollout_flow_frames(params, images, repeat=4, extension=2)
+        b = rollout_flow_frames(
+            params, images, repeat=4, extension=2, s2d_l0=True
+        )
+        for u, v in zip(a, b):
+            np.testing.assert_allclose(
+                np.asarray(u), np.asarray(v), rtol=0.05, atol=0.02
+            )
+
+    def test_falls_back_on_int8(self, params):
+        """_s2d_ok gate: quantized params run the default int8 path under
+        s2d_l0=True (identical result, no crash)."""
+        from evolutionary_illusion_generator_tpu.models.prednet.model import (
+            quantize_params_int8,
+        )
+
+        rng = np.random.default_rng(5)
+        qp = quantize_params_int8(params)
+        even = jnp.asarray(rng.random((2, 16, 24, CHANNELS[0]), np.float32))
+        a = rollout_flow_frames(qp, even, repeat=3, extension=2)
+        b = rollout_flow_frames(qp, even, repeat=3, extension=2, s2d_l0=True)
+        for u, v in zip(a, b):
+            np.testing.assert_array_equal(np.asarray(u), np.asarray(v))
