@@ -101,9 +101,14 @@ def measure_generation(pop, reps, backend_note=""):
         # BENCH_INT8=1: int8-quantized predictor convs (2x MXU throughput,
         # quantization noise on the drift signal — EvalConfig.prednet_int8)
         prednet_int8=os.environ.get("BENCH_INT8", "0") == "1",
-        # BENCH_S2D=1: pixel-layer convs/states in space-to-depth layout
-        # (MXU lane packing — EvalConfig.s2d_l0)
-        s2d_l0=os.environ.get("BENCH_S2D", "0") == "1",
+        # BENCH_S2D: pixel-layer convs/states in space-to-depth layout
+        # (MXU lane packing — EvalConfig.s2d_l0).  Unset = auto (ON for
+        # TPU backends — the measured default since the 9.41 s/gen gate,
+        # BENCH_NOTES.md "s2d pixel layer"); 0/1 force it off/on.
+        s2d_l0=(
+            None if "BENCH_S2D" not in os.environ
+            else os.environ["BENCH_S2D"] == "1"
+        ),
         microbatch=MICROBATCH,
     )
     evaluator = GenerationEvaluator(cfg, params, neat_cfg)

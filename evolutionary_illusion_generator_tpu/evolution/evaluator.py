@@ -22,7 +22,7 @@ from __future__ import annotations
 
 import time
 from dataclasses import dataclass, field
-from typing import Dict, List, Sequence, Tuple, Union
+from typing import Dict, List, Optional, Sequence, Tuple, Union
 
 import jax
 import jax.numpy as jnp
@@ -107,9 +107,13 @@ class EvalConfig:
     # model.py::_s2d_kernel): PredNet's layer-0 channel counts (1-57) pad
     # to the MXU's 128 lanes at ~4-10% utilization; 4x channels at 1/4 the
     # spatial size do the same nominal FLOPs densely packed.  Same math up
-    # to accumulation-order rounding; opt-in behind the rated-probe
-    # ordering gate like the other layout experiments (BENCH_NOTES.md).
-    s2d_l0: bool = False
+    # to accumulation-order rounding.  Measured -10% end-to-end on the
+    # north-star bench (10.44 -> 9.41 s/gen) with every rated-probe score
+    # within +-0.006 of the dense path (BENCH_NOTES.md "s2d pixel layer").
+    # ``None`` (default) resolves to True on TPU backends and False
+    # elsewhere: CPU/GPU don't pad conv channels to 128 lanes, so there the
+    # lifted kernel's zeros are ~4x real MACs, not free padding.
+    s2d_l0: Optional[bool] = None
     # predictor compute dtype: "bfloat16" halves the rollout's post-conv
     # bandwidth (the generation's dominant cost); "float32" for exact
     # predictor numerics
@@ -206,6 +210,13 @@ class GenerationEvaluator:
         if cfg.debug_nans:
             jax.config.update("jax_debug_nans", True)
         self.cfg = cfg
+        # resolve the backend-dependent default ONCE (it must be part of
+        # the exported-program cache key — repr(cfg) alone would replay a
+        # dense-layout program on TPU or an s2d one on CPU)
+        self._s2d_l0 = (
+            jax.default_backend() == "tpu" if cfg.s2d_l0 is None
+            else cfg.s2d_l0
+        )
         if cfg.prednet_int8:
             params = quantize_params_int8(params)
         self.params = params
@@ -273,7 +284,7 @@ class GenerationEvaluator:
                 use_pallas=cfg.use_pallas,
                 compute_dtype=jnp.dtype(cfg.prednet_dtype),
                 subpixel_up=cfg.subpixel_up,
-                s2d_l0=cfg.s2d_l0,
+                s2d_l0=self._s2d_l0,
             )
             vectors, vmask = batched_flow(f0, f1, cfg.flow)
             out = {
@@ -318,7 +329,7 @@ class GenerationEvaluator:
         # full frozen config (structure/grid/rollout/flow/dtype knobs)
         return cached_program(
             jitted,
-            (type(self).__name__, key, repr(cfg)),
+            (type(self).__name__, key, repr(cfg), self._s2d_l0),
             example_args,
             label="gen",
         )

@@ -118,3 +118,22 @@ class TestShardedTraining:
         step = make_train_step(tx, mesh=mesh)
         _, _, loss_dp = step(params, init_opt_state(tx, params), frames)
         assert abs(loss_single - float(loss_dp)) < 1e-4
+
+
+def test_s2d_sharded_matches_unsharded(neat_cfg, params):
+    """The s2d pixel layer (the TPU production default) shards over the
+    pop axis identically to the dense layout — batch is untouched by the
+    phase packing."""
+    from dataclasses import replace
+
+    mesh = make_mesh(8)
+    genomes = make_genomes(16, neat_cfg)
+    cfg = replace(eval_cfg(), s2d_l0=True)
+    single = GenerationEvaluator(cfg, params, neat_cfg)
+    sharded = ShardedGenerationEvaluator(cfg, params, neat_cfg, mesh)
+    out_s = single.evaluate_images(genomes).to_numpy()
+    out_m = sharded.evaluate_images(genomes).to_numpy()
+    np.testing.assert_array_equal(out_s["images_u8"], out_m["images_u8"])
+    np.testing.assert_allclose(
+        out_s["vectors"], out_m["vectors"], rtol=1e-4, atol=1e-4
+    )
