@@ -116,6 +116,7 @@ def pretrain(
     ring_closed_scale: float = 1.0,
     cue_period_range=None,
     tang_radial: bool = False,
+    tang_uniform: bool = False,
     checkpoint: Optional[str] = None,
     save_every: int = 0,
 ):
@@ -159,6 +160,11 @@ def pretrain(
         raise ValueError(
             "ring_mask_prefix needs closed_frames and a ring onset window"
         )
+    if tang_radial and tang_uniform:
+        raise ValueError(
+            "tang_radial and tang_uniform both rewrite the wedge-ring "
+            "class's motion — pick one"
+        )
     step_fn = make_train_step(
         tx, mesh=mesh, t_open=T if closed_frames else None,
         closed_weight=closed_weight if closed_frames else 0.0,
@@ -171,7 +177,8 @@ def pretrain(
                   "max_onset": max_onset, "move_prob": move_prob,
                   "ring_onset": ring_onset,
                   "ring_dir_cue": ring_dir_cue,
-                  "tang_radial": tang_radial}
+                  "tang_radial": tang_radial,
+                  "tang_uniform": tang_uniform}
         if ring_onset_range is not None:
             kwargs["ring_onset_range"] = tuple(ring_onset_range)
         if cue_period_range is not None:
@@ -372,6 +379,14 @@ def main(argv: Optional[list] = None) -> int:
                         "rotation_symmetry_score at 0.5, while a uniform "
                         "radial response scores ~1.0 — the looming bias a "
                         "natural-video predictor actually has")
+    p.add_argument("--tang_uniform", action="store_true",
+                   help="wedge-ring (tangential) class rotates "
+                        "differentially at a uniform px/frame across "
+                        "radius instead of rigidly at constant omega "
+                        "(whose inner rings move at omega*r — the "
+                        "measured sub-noise inner-band tail capping the "
+                        "rotate scores, BENCH_NOTES v6e).  Mutually "
+                        "exclusive with --tang_radial")
     p.add_argument("--save_every", type=int, default=2000,
                    help="write a resumable training checkpoint "
                         "(<out>.part.npz) every N steps; a restarted run "
@@ -434,6 +449,7 @@ def main(argv: Optional[list] = None) -> int:
         cue_period_range=(tuple(float(x) for x in args.cue_period.split(","))
                           if args.cue_period else None),
         tang_radial=args.tang_radial,
+        tang_uniform=args.tang_uniform,
         checkpoint=ckpt,
         save_every=args.save_every,
     )

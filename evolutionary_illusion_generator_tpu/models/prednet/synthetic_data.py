@@ -146,7 +146,7 @@ def _phase_fields(key, T, h, w, speed_range=(0.5, 2.5), max_onset=0,
                   onset_hazard=0.0, ring_speed_range=None,
                   onset_range=None, ring_onset=False, ring_dir_cue=False,
                   ring_onset_range=None, cue_period_range=(12.0, 40.0),
-                  tang_radial=False):
+                  tang_radial=False, tang_uniform=False):
     """Per-regime phase fields u(t, y, x); value = ramp(u).
 
     Motion is toward the ramp direction for the asymmetric regimes (the
@@ -296,6 +296,21 @@ def _phase_fields(key, T, h, w, speed_range=(0.5, 2.5), max_onset=0,
             alternate > 0, 1.0 - 2.0 * (ring_idx_t % 2.0), 1.0
         )
         u_tang = ring_sign_t * phi[None] * n_seg / (2 * jnp.pi)
+    elif tang_uniform:
+        # uniform LINEAR tangential speed across radius.  The default
+        # constant-omega rotation moves a ring at omega*r px/frame — a
+        # fraction of the sampled speed near the centre, which is measured
+        # (scripts/field_anatomy.py; BENCH_NOTES "v6ab"/"v6e") as the
+        # sub-noise inner-band tail that caps the rotate family's
+        # rotation-symmetry term under every v6 variant.  Dividing the
+        # angular rate by radius (differential rotation — the shear
+        # between rings is invisible to the per-window LK tracker, and
+        # chirality already alternates per ring) makes every ring drift at
+        # ~``speed`` px/frame, like the radial cue always has.
+        omega_r = speed / jnp.maximum(r, 4.0)  # (h, w) rad/frame
+        u_tang = ring_sign * (
+            phi[None] - omega_r[None] * ring_sign * t
+        ) * n_seg / (2 * jnp.pi)
     else:
         # tangential speed ~= speed px/frame at the mid radius
         omega = speed / (0.3 * jnp.minimum(h, w))
@@ -427,6 +442,7 @@ def synthetic_cue_batch(
     ring_onset_range=None,
     cue_period_range=(12.0, 40.0),
     tang_radial: bool = False,
+    tang_uniform: bool = False,
     return_regime: bool = False,
 ):
     """(batch, T, h, w, c) float32 cue sequences (v3).
@@ -445,7 +461,9 @@ def synthetic_cue_batch(
       3 linear asymmetric sawtooth, translating toward the ramp
       4 tangential sawtooth rings, rotating toward the ramp (with
         ``tang_radial``: same angular-asymmetric wedge look, but the ring
-        structure contracts radially instead of rotating — see
+        structure contracts radially instead of rotating; with
+        ``tang_uniform``: differential rotation at uniform px/frame across
+        radius instead of rigid constant-omega rotation — see
         _phase_fields)
       5 radial sawtooth rings, expanding toward the ramp
       6 smooth texture x radial/tangential mask, static (settling pressure
@@ -486,7 +504,7 @@ def synthetic_cue_batch(
             k_phase, T, h, w, cue_speed_range, max_onset, move_prob,
             cue_slow_range, cue_slow_frac, onset_hazard, ring_speed_range,
             onset_range, ring_onset, ring_dir_cue, ring_onset_range,
-            cue_period_range, tang_radial,
+            cue_period_range, tang_radial, tang_uniform,
         )
         rise = jax.random.uniform(
             jax.random.fold_in(k_phase, 9), (), minval=0.7, maxval=0.9

@@ -539,3 +539,51 @@ def test_tang_radial_contracts_instead_of_rotating():
             rot_zero_votes += 1
     assert inward_votes >= 5, inward_votes
     assert rot_zero_votes >= 5, rot_zero_votes
+
+
+def test_tang_uniform_phase_rate_scales_inverse_radius():
+    """``tang_uniform``: the wedge class's per-pixel temporal phase rate
+    is proportional to 1/r (uniform px/frame drift at every ring), where
+    the default rigid rotation's rate is radius-constant (so inner rings
+    move at omega*r px/frame — the measured sub-noise inner-band tail,
+    BENCH_NOTES "v6e")."""
+    from evolutionary_illusion_generator_tpu.models.prednet.synthetic_data import (
+        _phase_fields,
+    )
+
+    h = w = 64
+
+    def rate_ratio(tang_uniform):
+        # fixed speed so the only radius dependence is the formulation's
+        (_, u_tang, *_rest) = _phase_fields(
+            jax.random.PRNGKey(3), 3, h, w, (1.0, 1.0),
+            tang_uniform=tang_uniform,
+        )
+        u = np.asarray(u_tang)
+        rate = np.abs(u[1] - u[0])  # per-pixel |d phase / d t|
+        yy, xx = np.mgrid[0:h, 0:w]
+        # the centre is jittered by up to h/8; bands at r-from-image-centre
+        # 12-16 vs 24-28 stay ordered in true radius regardless
+        r = np.hypot(yy - h / 2, xx - w / 2)
+        inner = rate[(r >= 12) & (r < 16)].mean()
+        outer = rate[(r >= 24) & (r < 28)].mean()
+        return inner / outer
+
+    # default rigid rotation: rate constant across radius (ratio ~ 1)
+    assert 0.8 < rate_ratio(False) < 1.25
+    # uniform-speed differential rotation: inner rate ~ (24..28)/(12..16)
+    # times the outer one
+    assert rate_ratio(True) > 1.4
+
+
+def test_tang_uniform_smoke_and_exclusivity():
+    params, loss = pretrain(
+        (1, 4), steps=2, batch=2, T=4, h=24, w=32, verbose=False,
+        regime_probs=(0, 0, 0, 0, 1.0, 0, 0), tang_uniform=True,
+    )
+    assert np.isfinite(loss)
+    import pytest
+
+    with pytest.raises(ValueError):
+        pretrain((1, 4), steps=1, batch=1, T=4, h=24, w=32, verbose=False,
+                 tang_radial=True, tang_uniform=True)
