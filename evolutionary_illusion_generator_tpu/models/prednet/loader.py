@@ -34,13 +34,19 @@ __all__ = [
 
 def save_params(params: PredNetParams, path: str, dtype=np.float32) -> None:
     """NPZ checkpoint; ``dtype=np.float16`` halves bundled-weight size (the
-    inference dtype is bfloat16, so f16 storage loses nothing material)."""
+    inference dtype is bfloat16, so f16 storage loses nothing material).
+
+    Written atomically (tmp + ``os.replace``) so a poller on the output
+    path (e.g. the campaign scripts' stage gates) never observes a
+    partially-written file (ADVICE r4)."""
     flat = {}
     for l, layer in enumerate(params):
         for name, arr in layer.items():
             flat[f"l{l}/{name}"] = np.asarray(arr, dtype=np.float32).astype(dtype)
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
-    np.savez(path, **flat)
+    tmp = path + ".tmp.npz"
+    np.savez(tmp, **flat)
+    os.replace(tmp, path)
 
 
 def load_params(path: str, dtype=jnp.bfloat16) -> PredNetParams:

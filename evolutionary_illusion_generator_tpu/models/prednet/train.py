@@ -79,6 +79,8 @@ def prednet_seq_loss(
     motion_weight: float = 0.0,
     motion_mask=None,  # (B,) weights for the closed motion-energy hinge
     open_mask=None,  # (B, t_open) per-frame open-loop loss weights
+    cue_motion_weight: float = 0.0,
+    cue_motion_mask=None,  # (B,) weights for the PIXELWISE cue hinge
 ):
     """Open-loop E-loss + CLOSED-LOOP pixel supervision on the tail frames.
 
@@ -115,6 +117,21 @@ def prednet_seq_loss(
     ring drift still collapses (control 0.245).  Blur/static predictions
     CANNOT satisfy this hinge — it directly supervises "rings keep moving
     in closed loop" without requiring phase accuracy.
+
+    ``cue_motion_weight``/``cue_motion_mask`` add a PIXELWISE closed-loop
+    amplitude hinge on the masked (cue) sequences: per closed step and per
+    pixel, penalize ``relu(|Δtarget| - |Δpred|)`` — the predicted temporal
+    change may not fall below the target's anywhere in the frame.
+    Rationale (measured, BENCH_NOTES round 4 "cached-vector anatomy"): the
+    rated circles scores are capped by a spatially-LOCALIZED weak response
+    (|d| 0.03-0.10 px in the fine-scale centre band) while the coarse
+    regions respond at full trained magnitude; a per-sequence-mean hinge
+    (``motion_weight``) is satisfied by the strong outer response, so the
+    weak regions pay nothing.  The pixelwise form makes exactly the
+    under-responding pixels carry loss.  Unlike the ring hinge this one
+    coexists with the closed L1 on the same sequences — the L1 anchors the
+    prediction to the coherent continuation, so the hinge cannot be
+    satisfied by incoherent flicker (the v5d ring-hinge failure mode).
 
     ``open_mask`` (B, t_open) weights the OPEN-loop E-term per sequence
     and frame.  Rationale (measured v5e): an onset curriculum on ring
@@ -169,12 +186,17 @@ def prednet_seq_loss(
         mm = (jnp.ones((B,), jnp.float32) if motion_mask is None
               else motion_mask.astype(jnp.float32))
         wmot = mm / jnp.maximum(mm.sum(), 1e-6)
+    if cue_motion_weight > 0.0:
+        cm = (jnp.ones((B,), jnp.float32) if cue_motion_mask is None
+              else cue_motion_mask.astype(jnp.float32))
+        wcue = cm / jnp.maximum(cm.sum(), 1e-6)
 
     def _seq_mean(x):  # (B, ...) -> (B,)
         return jnp.mean(x, axis=tuple(range(1, x.ndim)))
 
     closed = 0.0
     motion = 0.0
+    cue_motion = 0.0
     prev_pred = pred
     prev_target = frames_t[t_open - 1].astype(jnp.float32)
     for t in range(t_open, T):
@@ -193,12 +215,21 @@ def prednet_seq_loss(
             motion = motion + jnp.sum(
                 jax.nn.relu(dt_target - dt_pred) * wmot
             )
+        if cue_motion_weight > 0.0:
+            # pixelwise hinge: relu BEFORE any spatial averaging, so the
+            # strong outer response cannot pay for the weak centre band
+            gap = jax.nn.relu(
+                jnp.abs(target - prev_target) - jnp.abs(pred - prev_pred)
+            )
+            cue_motion = cue_motion + jnp.sum(_seq_mean(gap) * wcue)
         prev_pred, prev_target = pred, target
     n_closed = max(T - t_open, 1)
     closed = closed / n_closed
     loss = open_loss + closed_weight * closed
     if motion_weight > 0.0:
         loss = loss + motion_weight * motion / n_closed
+    if cue_motion_weight > 0.0:
+        loss = loss + cue_motion_weight * cue_motion / n_closed
     return loss
 
 
@@ -218,6 +249,7 @@ def make_train_step(
     masked_closed: bool = False,
     motion_weight: float = 0.0,
     masked_open: bool = False,
+    cue_motion_weight: float = 0.0,
 ):
     """Build a jitted train step: (params, opt_state, frames) -> updated.
 
@@ -235,39 +267,45 @@ def make_train_step(
     moving in closed loop instead of being merely unsupervised).
     ``masked_open`` adds a further (B, t_open) step argument weighting
     the open-loop E-term per frame (static-prefix exclusion; see
-    :func:`prednet_seq_loss`).
+    :func:`prednet_seq_loss`).  ``cue_motion_weight > 0`` adds a FINAL
+    (B,) step argument — the cue-regime indicator carrying the pixelwise
+    closed-loop amplitude hinge (see :func:`prednet_seq_loss`).
     """
     if closed_weight > 0.0:
         if t_open is None:
             raise ValueError("closed_weight > 0 requires t_open")
         if motion_weight > 0.0 and not masked_closed:
             raise ValueError("motion_weight requires masked_closed")
-        loss_fn = lambda p, f, m=None, om=None: prednet_seq_loss(  # noqa: E731
+        if cue_motion_weight > 0.0 and not masked_closed:
+            raise ValueError("cue_motion_weight requires masked_closed")
+        loss_fn = lambda p, f, m=None, om=None, cm=None: prednet_seq_loss(  # noqa: E731
             p, f, t_open=t_open, closed_weight=closed_weight,
             edge_weight=edge_weight, closed_mask=m,
             motion_weight=motion_weight,
             motion_mask=(None if m is None or motion_weight <= 0.0
                          else 1.0 - m),
             open_mask=om,
+            cue_motion_weight=cue_motion_weight,
+            cue_motion_mask=cm,
         )
     else:
         if masked_closed:
             raise ValueError("masked_closed requires closed_weight > 0")
         if masked_open:
             raise ValueError("masked_open requires closed_weight > 0")
+        if cue_motion_weight > 0.0:
+            raise ValueError("cue_motion_weight requires closed_weight > 0")
         loss_fn = prednet_loss
 
-    def _update(params, opt_state, frames, mask, open_mask):
+    def _update(params, opt_state, frames, mask, open_mask, cue_mask):
         # master weights in f32 (bf16 is the inference dtype; JAX's conv
         # transpose rule requires uniform dtypes on the backward pass)
         params32 = jax.tree.map(lambda p: p.astype(jnp.float32), params)
-        if mask is None and open_mask is None:
+        if mask is None and open_mask is None and cue_mask is None:
             loss, grads = jax.value_and_grad(loss_fn)(params32, frames)
-        elif open_mask is None:
-            loss, grads = jax.value_and_grad(loss_fn)(params32, frames, mask)
         else:
             loss, grads = jax.value_and_grad(loss_fn)(
-                params32, frames, mask, open_mask
+                params32, frames, mask, open_mask, cue_mask
             )
         updates, opt_state = tx.update(grads, opt_state, params32)
         params32 = optax.apply_updates(params32, updates)
@@ -276,14 +314,21 @@ def make_train_step(
         )
         return params, opt_state, loss
 
+    has_cue = cue_motion_weight > 0.0
     if masked_open:
         if not masked_closed:
             raise ValueError("masked_open requires masked_closed")
-        train_step = lambda p, o, f, m, om: _update(p, o, f, m, om)  # noqa: E731
+        if has_cue:
+            train_step = lambda p, o, f, m, om, cm: _update(p, o, f, m, om, cm)  # noqa: E731
+        else:
+            train_step = lambda p, o, f, m, om: _update(p, o, f, m, om, None)  # noqa: E731
     elif masked_closed:
-        train_step = lambda p, o, f, m: _update(p, o, f, m, None)  # noqa: E731
+        if has_cue:
+            train_step = lambda p, o, f, m, cm: _update(p, o, f, m, None, cm)  # noqa: E731
+        else:
+            train_step = lambda p, o, f, m: _update(p, o, f, m, None, None)  # noqa: E731
     else:
-        train_step = lambda p, o, f: _update(p, o, f, None, None)  # noqa: E731
+        train_step = lambda p, o, f: _update(p, o, f, None, None, None)  # noqa: E731
 
     if mesh is None:
         return jax.jit(train_step)
@@ -296,6 +341,8 @@ def make_train_step(
     if masked_closed:
         in_sh = in_sh + (batch,)
     if masked_open:
+        in_sh = in_sh + (batch,)
+    if has_cue:
         in_sh = in_sh + (batch,)
     return jax.jit(
         train_step,
