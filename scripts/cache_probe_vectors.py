@@ -47,6 +47,47 @@ IMAGES = [
 BW = (1, 16, 32, 64)
 COLOR = (3, 48, 96, 192)
 
+# the published table's circles family (eigen_own_ratings.csv rows 2-9,
+# all 0.802-0.818): the aggregate whose average is floored so a promotion
+# cannot trade several images down a margin each (VERDICT r4 weak #1)
+CIRCLES = ["rotate_01", "rotate_02", "expand_01", "expand_02",
+           "color_01_expand", "color_02_expand"]
+
+BENCH_NOTES = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "BENCH_NOTES.md")
+
+
+def check_aggregates(old_aggs, scores, margin, rationale=None,
+                     notes_text=None):
+    """Ratchet the AGGREGATE floors (circles-family average + manyfish).
+
+    Unlike the per-image floors, these cannot be lowered by
+    ``--allow_regression``: lowering needs a WRITTEN decision record — a
+    non-empty ``rationale`` string that already appears verbatim in
+    BENCH_NOTES.md (``notes_text``), so the trade is committed prose, not
+    a flag.  Returns (new_aggs, violations, accepted) where ``violations``
+    lists (name, floor, value) below-floor aggregates and ``accepted``
+    says whether the rationale authorizes lowering them.
+    """
+    new_aggs = dict(old_aggs)
+    current = {
+        "circles_avg": sum(scores[n] for n in CIRCLES) / len(CIRCLES),
+        "manyfish": scores["manyfish"],
+    }
+    accepted = bool(rationale) and bool(notes_text) and rationale in notes_text
+    violations = []
+    for name, value in current.items():
+        old = old_aggs.get(name)
+        candidate = round(value - margin, 3)
+        if old is not None and value < old:
+            violations.append((name, old, value))
+            if accepted:
+                new_aggs[name] = candidate
+        else:
+            new_aggs[name] = max(candidate, old) if old is not None \
+                else candidate
+    return new_aggs, violations, accepted
+
 
 def ratchet_floors(old_floors, scores, margin, allow_regression=False):
     """Ratchet per-image score floors against a fresh probe run.
@@ -90,9 +131,16 @@ def main(argv=None):
     p.add_argument("--floors", default=FLOORS)
     p.add_argument(
         "--allow_regression", action="store_true",
-        help="accept scores below the shipped floors and LOWER the floors "
-             "(an explicit fidelity trade; without this flag a regression "
-             "aborts before the cache is written)")
+        help="accept scores below the shipped PER-IMAGE floors and LOWER "
+             "them (an explicit fidelity trade; without this flag a "
+             "regression aborts before the cache is written).  Does NOT "
+             "waive the aggregate floors — see --aggregate_rationale")
+    p.add_argument(
+        "--aggregate_rationale", default="",
+        help="decision record authorizing an AGGREGATE floor lowering "
+             "(circles-family average / manyfish).  The exact text must "
+             "already appear in BENCH_NOTES.md — the trade ships as "
+             "committed prose, not a flag (VERDICT r4 weak #1)")
     args = p.parse_args(argv)
     if args.cpu:
         import jax
@@ -154,6 +202,37 @@ def main(argv=None):
         print("[cache] --allow_regression: floors LOWERED for the images "
               "above")
 
+    # Aggregate floors: a promotion trading several images down a margin
+    # each must clear the family-average bar too, and lowering THAT needs
+    # a committed decision record, not a flag (VERDICT r4 weak #1).
+    notes_text = ""
+    if os.path.exists(BENCH_NOTES):
+        with open(BENCH_NOTES) as f:
+            notes_text = f.read()
+    new_aggs, agg_violations, agg_accepted = check_aggregates(
+        floors_doc.get("aggregates", {}), scores, margin,
+        rationale=args.aggregate_rationale or None, notes_text=notes_text,
+    )
+    if agg_violations:
+        for name, old, value in agg_violations:
+            print(f"[cache] AGGREGATE REGRESSION: {name} {value:.3f} < "
+                  f"floor {old:.3f}")
+        if not agg_accepted:
+            raise SystemExit(
+                "[cache] refusing to lower an aggregate floor: write the "
+                "decision record into BENCH_NOTES.md first, then rerun "
+                "with --aggregate_rationale '<that exact text>' "
+                "(--allow_regression alone does not authorize this)")
+        print("[cache] aggregate floors LOWERED per the BENCH_NOTES "
+              "decision record")
+        floors_doc.setdefault("aggregate_decisions", []).append({
+            "violations": [
+                {"name": n, "floor": o, "score": round(v, 3)}
+                for n, o, v in agg_violations
+            ],
+            "rationale": args.aggregate_rationale,
+        })
+
     for channels in (BW, COLOR):
         wp = bundled_weights_path(channels)
         if wp is None:
@@ -165,6 +244,7 @@ def main(argv=None):
     np.savez(args.out, **payload)
     print(f"[cache] wrote {args.out}")
     floors_doc["floors"] = new_floors
+    floors_doc["aggregates"] = new_aggs
     with open(args.floors, "w") as f:
         json.dump(floors_doc, f, indent=2, sort_keys=False)
         f.write("\n")

@@ -22,7 +22,6 @@ narrative. The script prints the reminder.
 
 import argparse
 import os
-import shutil
 import subprocess
 import sys
 
@@ -60,9 +59,14 @@ def main(argv=None):
     p.add_argument("--cpu", action="store_true",
                    help="run the probe/cache regeneration on forced CPU")
     p.add_argument("--allow_regression", action="store_true",
-                   help="accept rated scores below the shipped floors and "
-                        "lower them (passed through to "
+                   help="accept rated scores below the shipped PER-IMAGE "
+                        "floors and lower them (passed through to "
                         "cache_probe_vectors.py; an explicit fidelity trade)")
+    p.add_argument("--aggregate_rationale", default="",
+                   help="decision record authorizing an AGGREGATE floor "
+                        "lowering; must already appear verbatim in "
+                        "BENCH_NOTES.md (passed through to "
+                        "cache_probe_vectors.py)")
     args = p.parse_args(argv)
 
     chans = infer_channels(args.candidate)
@@ -72,12 +76,23 @@ def main(argv=None):
         raise SystemExit(
             f"{dest} does not exist — candidate stack {chans} is not a "
             f"bundled default; copy manually if adding a new stack")
-    shutil.copyfile(args.candidate, dest)
-    print(f"[promote] {args.candidate} (stack {chans}) -> {dest}")
+    # Re-save through the loader at f16 rather than raw-copying the f32
+    # training output: halves the bundled-weight size and keeps the
+    # documented f16 bundled-weight convention (inference is bf16, so f16
+    # storage loses nothing material — loader.save_params; ADVICE r4).
+    from evolutionary_illusion_generator_tpu.models.prednet.loader import (
+        load_params, save_params,
+    )
+
+    save_params(load_params(args.candidate, dtype=np.float32), dest,
+                dtype=np.float16)
+    print(f"[promote] {args.candidate} (stack {chans}) -> {dest} [f16]")
 
     cpu = ["--cpu"] if args.cpu else []
     if args.allow_regression:
         cpu = cpu + ["--allow_regression"]
+    if args.aggregate_rationale:
+        cpu = cpu + ["--aggregate_rationale", args.aggregate_rationale]
     print("[promote] regenerating ordering-guard cache ...")
     # The cache script ratchets gallery/ordering_floors.json and REFUSES a
     # candidate that scores below the shipped floors (check=True aborts the

@@ -118,3 +118,64 @@ class TestRatchetFloors:
         )
         assert not reg
         assert new["rotate_01"] == 0.407
+
+
+class TestAggregateFloors:
+    """Family-level floors that --allow_regression cannot lower: lowering
+    needs a decision record committed in BENCH_NOTES.md (VERDICT r4
+    weak #1)."""
+
+    # circles family at avg 0.50, manyfish 0.60
+    SCORES = {"rotate_01": 0.50, "rotate_02": 0.50, "expand_01": 0.50,
+              "expand_02": 0.50, "color_01_expand": 0.50,
+              "color_02_expand": 0.50, "manyfish": 0.60, "control": 0.0}
+    OLD = {"circles_avg": 0.45, "manyfish": 0.55}
+
+    def test_aggregates_ratchet_up(self, cachemod):
+        new, viol, _ = cachemod.check_aggregates(
+            self.OLD, self.SCORES, 0.005
+        )
+        assert not viol
+        assert new["circles_avg"] == 0.495
+        assert new["manyfish"] == 0.595
+
+    def test_lowering_refused_without_rationale(self, cachemod):
+        old = {"circles_avg": 0.52, "manyfish": 0.62}
+        new, viol, accepted = cachemod.check_aggregates(
+            old, self.SCORES, 0.005
+        )
+        assert len(viol) == 2 and not accepted
+        # floors held — the caller aborts
+        assert new["circles_avg"] == 0.52
+        assert new["manyfish"] == 0.62
+
+    def test_rationale_must_appear_in_bench_notes(self, cachemod):
+        old = {"circles_avg": 0.52, "manyfish": 0.62}
+        new, viol, accepted = cachemod.check_aggregates(
+            old, self.SCORES, 0.005,
+            rationale="trade X for Y", notes_text="unrelated prose",
+        )
+        assert viol and not accepted
+        assert new["circles_avg"] == 0.52
+
+    def test_committed_rationale_lowers(self, cachemod):
+        old = {"circles_avg": 0.52, "manyfish": 0.62}
+        notes = "## Round-5 promotion\ntrade X for Y because measured Z\n"
+        new, viol, accepted = cachemod.check_aggregates(
+            old, self.SCORES, 0.005,
+            rationale="trade X for Y because measured Z", notes_text=notes,
+        )
+        assert len(viol) == 2 and accepted
+        assert new["circles_avg"] == 0.495
+        assert new["manyfish"] == 0.595
+
+    def test_shipped_floors_json_has_aggregates(self, cachemod):
+        import json
+
+        floors_file = os.path.join(
+            os.path.dirname(os.path.dirname(SCRIPT)), "gallery",
+            "ordering_floors.json",
+        )
+        with open(floors_file) as f:
+            doc = json.load(f)
+        assert set(doc["aggregates"]) == {"circles_avg", "manyfish"}

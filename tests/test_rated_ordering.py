@@ -116,6 +116,24 @@ def test_published_ordering_holds(cache):
         )
 
 
+def test_aggregate_floors_hold(cache):
+    """Family-level floors: a promotion cannot trade several images down a
+    margin each (VERDICT r4 weak #1).  Lowering one of these requires a
+    decision record in BENCH_NOTES.md (scripts/cache_probe_vectors.py
+    --aggregate_rationale); --allow_regression alone cannot."""
+    scores = {}
+    for name in _names(cache):
+        _structure, _published, recorded = cache[f"meta/{name}"]
+        scores[name] = float(recorded)
+    with open(FLOORS_FILE) as f:
+        aggs = json.load(f)["aggregates"]
+    circles = ["rotate_01", "rotate_02", "expand_01", "expand_02",
+               "color_01_expand", "color_02_expand"]
+    circles_avg = sum(scores[n] for n in circles) / len(circles)
+    assert circles_avg >= aggs["circles_avg"], (circles_avg, aggs)
+    assert scores["manyfish"] >= aggs["manyfish"], (scores["manyfish"], aggs)
+
+
 @pytest.mark.xfail(
     strict=False,
     reason="v6 fidelity target (VERDICT r3): the published table has every "
