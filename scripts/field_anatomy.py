@@ -30,12 +30,26 @@ IMAGES = [
     ("expand_02", "expand_02/small.png"),
 ]
 
+# the color stimuli probe through the color stack (fpsi_500000_20v role);
+# same circles metric, so the same anatomy applies (VERDICT r4 next #2:
+# point this instrumentation at color_02)
+COLOR_IMAGES = [
+    ("color_01_expand", "color_01_expand/small.png"),
+    ("color_02_expand", "color_02_expand/small.png"),
+]
+
 BW = (1, 16, 32, 64)
+COLOR = (3, 48, 96, 192)
 
 
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--model_bw", default=None)
+    p.add_argument("--model_color", default=None)
+    p.add_argument("--color", action="store_true",
+                   help="also decompose the two color stimuli (color stack)")
+    p.add_argument("--only", default="",
+                   help="substring filter on image names")
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--bands", type=int, default=4)
     args = p.parse_args(argv)
@@ -52,9 +66,14 @@ def main(argv=None):
 
     w, h = 160, 120
     cx, cy = w / 2.0, h / 2.0
-    for name, rel in IMAGES:
+    todo = [(n, rel, BW, args.model_bw) for n, rel in IMAGES]
+    if args.color:
+        todo += [(n, rel, COLOR, args.model_color) for n, rel in COLOR_IMAGES]
+    if args.only:
+        todo = [t for t in todo if args.only in t[0]]
+    for name, rel, channels, model in todo:
         path = os.path.join(RATED_DIR, rel)
-        v = np.asarray(get_vectors(path, args.model_bw, BW, w, h), np.float64)
+        v = np.asarray(get_vectors(path, model, channels, w, h), np.float64)
         if v.size == 0:
             print(f"{name}: no vectors")
             continue
