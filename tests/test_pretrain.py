@@ -587,3 +587,109 @@ def test_tang_uniform_smoke_and_exclusivity():
     with pytest.raises(ValueError):
         pretrain((1, 4), steps=1, batch=1, T=4, h=24, w=32, verbose=False,
                  tang_radial=True, tang_uniform=True)
+
+
+def test_ring_speed_cue_determines_speed_from_duty():
+    """v7 control anchor: with ring_speed_cue the ring speed is a
+    deterministic function of the duty-cue magnitude (|duty-0.5| in
+    [0.08, 0.30] maps linearly onto ring_speed_range), so the whole ring
+    continuation is appearance-determined and the L1 optimum cannot drift
+    toward blur with training budget (VERDICT r4 weak #3)."""
+    from evolutionary_illusion_generator_tpu.models.prednet.synthetic_data import (
+        _phase_fields,
+    )
+    import jax.numpy as jnp
+
+    lo, hi = 1.0, 2.0
+    for i in range(8):
+        out = _phase_fields(
+            jax.random.PRNGKey(300 + i), 8, 48, 64,
+            ring_speed_range=(lo, hi), ring_dir_cue=True,
+            ring_speed_cue=True,
+        )
+        u_rings, r, duty = out[3], out[4], out[7]
+        # u_rings[0] == r / ring_period exactly (t=0), recover the period
+        period = float(r[20, 20] / u_rings[0][20, 20])
+        du = float(jnp.mean(u_rings[-1] - u_rings[-2]))
+        speed_obs = abs(du) * period
+        cue_mag = abs(float(duty) - 0.5)
+        expected = lo + (hi - lo) * min(max((cue_mag - 0.08) / 0.22, 0.0), 1.0)
+        assert abs(speed_obs - expected) < 1e-3, (i, speed_obs, expected)
+        # direction still follows the duty side
+        assert (float(duty) > 0.5) == (du < 0)
+
+
+def test_ring_speed_cue_requires_dir_cue():
+    from evolutionary_illusion_generator_tpu.models.prednet.synthetic_data import (
+        _phase_fields,
+    )
+    import pytest
+
+    with pytest.raises(ValueError, match="ring_speed_cue"):
+        _phase_fields(
+            jax.random.PRNGKey(0), 4, 16, 16,
+            ring_speed_range=(1.0, 2.0), ring_speed_cue=True,
+        )
+
+
+def test_cue_fine_speed_band_applies_below_threshold():
+    """v7 weak-tail lever: sawtooths with period < cue_fine_max_period
+    draw their speed from the fine band; coarser ones keep the base band."""
+    from evolutionary_illusion_generator_tpu.models.prednet.synthetic_data import (
+        _phase_fields,
+    )
+    import jax.numpy as jnp
+
+    for i, (period_range, want) in enumerate(
+        [((6.0, 6.0), 0.5), ((40.0, 40.0), 0.1)]
+    ):
+        out = _phase_fields(
+            jax.random.PRNGKey(400 + i), 6, 48, 64,
+            speed_range=(0.1, 0.1), cue_period_range=period_range,
+            cue_fine_speed_range=(0.5, 0.5), cue_fine_max_period=12.0,
+        )
+        u_rad = out[2]
+        period = period_range[0]
+        du = float(jnp.mean(u_rad[-1] - u_rad[-2]))
+        speed_obs = abs(du) * period
+        assert abs(speed_obs - want) < 1e-3, (period, speed_obs, want)
+
+
+def test_cue_motion_hinge_masks_and_sign():
+    """v7 pixelwise amplitude hinge: nonnegative, zero under a zero mask,
+    and identical to the base loss at weight 0."""
+    from evolutionary_illusion_generator_tpu.models.prednet import init_params
+    from evolutionary_illusion_generator_tpu.models.prednet.train import (
+        prednet_seq_loss,
+    )
+    import jax.numpy as jnp
+
+    params = init_params(jax.random.PRNGKey(0), (1, 4))
+    frames = jax.random.uniform(jax.random.PRNGKey(2), (3, 6, 24, 32, 1))
+    base = float(prednet_seq_loss(params, frames, t_open=4, closed_weight=5.0))
+    zero_mask = float(prednet_seq_loss(
+        params, frames, t_open=4, closed_weight=5.0,
+        cue_motion_weight=3.0, cue_motion_mask=jnp.zeros((3,)),
+    ))
+    assert zero_mask == base
+    hinged = float(prednet_seq_loss(
+        params, frames, t_open=4, closed_weight=5.0,
+        cue_motion_weight=3.0, cue_motion_mask=jnp.ones((3,)),
+    ))
+    assert hinged >= base
+
+
+def test_pretrain_v7_levers_smoke():
+    """All three v7 levers through the full pretrain step builder."""
+    params, loss = pretrain(
+        [1, 4], steps=2, batch=2, T=5, h=16, w=16, verbose=False,
+        regime_probs=(0, 0.25, 0.25, 0.2, 0.15, 0.15, 0),
+        ring_speed_range=(1.2, 2.0), onset_range=(3, 4),
+        closed_frames=2, closed_weight=5.0, ring_dir_cue=True,
+        ring_onset_range=(4, 4), ring_mask_prefix=True,
+        ring_closed_scale=0.5, cue_speed_range=(0.10, 0.14),
+        cue_period_range=(6.0, 40.0),
+        cue_fine_speed_range=(0.14, 0.18), ring_speed_cue=True,
+        cue_motion_weight=1.0,
+    )
+    assert np.isfinite(loss)
