@@ -19,13 +19,18 @@ exec >>"$LOG" 2>&1
 
 stamp() { echo "[campaign-r5b $(date -u +%H:%M:%S)] $*"; }
 
-stamp "waiting for part A stage 4 (v7c20k) to finish ..."
+# Part A was cut short after stage 3: v7a measured as a class-flip no-go
+# and v7c broke control at 10k (control 0.243 — the deterministic
+# duty->speed mapping interpolates symmetric rings into the plausible
+# band), so the 20k budget-robustness stage 4 was cancelled (BENCH_NOTES
+# "v7a"/"v7c").  Queue behind stage 3 (v7b) instead.
+stamp "waiting for part A stage 3 (v7b) to finish ..."
 for i in $(seq 1 1080); do
-  [ -f candidates/prednet_bw_v7c20k.npz ] && break
+  [ -f candidates/prednet_bw_v7b.npz ] && break
   sleep 10
 done
-if [ ! -f candidates/prednet_bw_v7c20k.npz ]; then
-  stamp "part A final output never appeared; aborting"
+if [ ! -f candidates/prednet_bw_v7b.npz ]; then
+  stamp "part A stage 3 output never appeared; aborting"
   exit 1
 fi
 stamp "part A complete; cooldown before stage B1"

@@ -33,7 +33,7 @@ wait_for() { # path max_iter
   return 1
 }
 
-for tag in v7a v7c v7b v7c20k bw_v7band; do
+for tag in v7a v7c v7b bw_v7band; do
   f="candidates/prednet_bw_${tag#bw_}.npz"
   [ "$tag" = bw_v7band ] && f="candidates/prednet_bw_v7band.npz"
   out="gallery/probe_$tag.json"
