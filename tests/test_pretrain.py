@@ -693,3 +693,42 @@ def test_pretrain_v7_levers_smoke():
         cue_motion_weight=1.0,
     )
     assert np.isfinite(loss)
+
+
+def test_band_prob_adds_white_gaps_and_preserves_plumbing():
+    """band_prob (the rated-stimulus wedge-ring look, shipped by the v7band
+    recipe) must only restyle the PATTERN: same regime/onset stream as the
+    unbanded draw (banding keys are fold_ins, not stream consumers), white
+    separator gaps appear, frames stay in [0, 1]."""
+    from evolutionary_illusion_generator_tpu.models.prednet.synthetic_data import (
+        synthetic_cue_batch,
+    )
+
+    kwargs = dict(
+        batch=16, T=6, h=48, w=64, c=1,
+        regime_probs=(0, 0.25, 0.2, 0.15, 0.2, 0.2, 0),
+        ring_speed_range=(1.2, 2.0), onset_range=(3, 4),
+        ring_dir_cue=True, ring_onset_range=(4, 4),
+        cue_speed_range=(0.10, 0.14), cue_period_range=(6.0, 40.0),
+        return_regime=True,
+    )
+    f0, r0, o0 = synthetic_cue_batch(
+        jax.random.PRNGKey(7), band_prob=0.0, **kwargs
+    )
+    f1, r1, o1 = synthetic_cue_batch(
+        jax.random.PRNGKey(7), band_prob=1.0, **kwargs
+    )
+    assert np.array_equal(np.asarray(r0), np.asarray(r1))
+    assert np.array_equal(np.asarray(o0), np.asarray(o1))
+    f0, f1 = np.asarray(f0), np.asarray(f1)
+    assert np.isfinite(f1).all()
+    assert f1.min() >= 0.0 and f1.max() <= 1.0
+    # white separator gaps: banding fills the masked-out area with the
+    # pattern's white level, so the fraction of pixels AT the per-sequence
+    # maximum (flat gap plateaus, robust to the random gain/offset) rises
+    def plateau_frac(f):
+        mx = f.max(axis=(1, 2, 3, 4), keepdims=True)
+        return float((f >= mx - 1e-3).mean())
+
+    p0, p1 = plateau_frac(f0), plateau_frac(f1)
+    assert p1 > p0 + 0.02, (p0, p1)
