@@ -81,6 +81,7 @@ def measure_generation(pop, reps, backend_note=""):
         GenerationEvaluator,
     )
     from evolutionary_illusion_generator_tpu.models.prednet import init_params
+    from evolutionary_illusion_generator_tpu.ops.flow.api import FlowConfig
     from evolutionary_illusion_generator_tpu.neat import Genome, preset
     from evolutionary_illusion_generator_tpu.structure import StructureType
 
@@ -108,6 +109,15 @@ def measure_generation(pop, reps, backend_note=""):
         s2d_l0=(
             None if "BENCH_S2D" not in os.environ
             else os.environ["BENCH_S2D"] == "1"
+        ),
+        # BENCH_LK_BF16=1: LK window gathers/products in bfloat16 (solve
+        # and accumulation stay f32 — FlowConfig.lk_dtype, ops/flow/lk.py)
+        flow=FlowConfig(
+            lk_dtype=(
+                "bfloat16"
+                if os.environ.get("BENCH_LK_BF16", "0") == "1"
+                else "float32"
+            )
         ),
         microbatch=MICROBATCH,
     )

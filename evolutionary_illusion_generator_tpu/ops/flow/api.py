@@ -36,6 +36,11 @@ class FlowConfig:
     iters: int = 12
     min_eig_threshold: float = 1e-4
     max_residual: float = 1.0
+    # LK window/gather compute dtype ("float32" | "bfloat16").  bfloat16
+    # halves the iteration loop's gather bandwidth; the 2x2 solve, flow
+    # state, accumulations and the residual gate stay f32 (ops/flow/lk.py).
+    # Opt-in pending the measured go/no-go + rated-ordering gate.
+    lk_dtype: str = "float32"
 
 
 def flow_vectors(gray0, gray1, cfg: FlowConfig = FlowConfig()):
@@ -61,6 +66,7 @@ def flow_vectors(gray0, gray1, cfg: FlowConfig = FlowConfig()):
         iters=cfg.iters,
         min_eig_threshold=cfg.min_eig_threshold,
         max_residual=cfg.max_residual,
+        dtype=jnp.dtype(cfg.lk_dtype),
     )
     return jnp.concatenate([positions, flow], axis=-1), ok
 

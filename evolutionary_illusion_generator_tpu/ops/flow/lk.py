@@ -65,8 +65,10 @@ def _subpix_windows(img, top_left_f, win: int):
     tl0 = jnp.floor(top_left_f)
     frac = top_left_f - tl0  # (K, 2) in [0, 1)
     tl0 = tl0.astype(jnp.int32)
-    fx = frac[:, 0][:, None, None]
-    fy = frac[:, 1][:, None, None]
+    # mix in the image dtype (f32 frac would silently promote bf16
+    # windows back to f32 and undo the bandwidth saving)
+    fx = frac[:, 0][:, None, None].astype(img.dtype)
+    fy = frac[:, 1][:, None, None].astype(img.dtype)
     big = _int_windows(img, tl0, win + 1)  # (K, win+1, win+1)
     w00 = big[:, :win, :win]
     w01 = big[:, :win, 1:]
@@ -80,6 +82,13 @@ def _subpix_windows(img, top_left_f, win: int):
     )
 
 
+def _dot(a, b):
+    """Windowed correlation with f32 accumulation (bf16-input safe: the
+    product converts before the 441-term reduce; XLA fuses the convert
+    into the reduction, so no f32 intermediate materializes)."""
+    return jnp.sum((a * b).astype(jnp.float32), axis=(1, 2))
+
+
 def _track_level(img0, img1, pos, guess, win, iters, min_eig_threshold):
     """One pyramid level for all K corners.
 
@@ -87,6 +96,11 @@ def _track_level(img0, img1, pos, guess, win, iters, min_eig_threshold):
     flow.  Returns (flow (K, 2), ok (K,), updatable (K,)).  Corners whose
     source window leaves this level's image keep their incoming guess
     (``dynamic_slice`` would silently clamp and corrupt the solve).
+
+    Window gathers and products run in the dtype of ``img0``/``img1``
+    (bfloat16 under ``FlowConfig.lk_dtype="bfloat16"`` — halves the gather
+    bandwidth of the iteration loop); the normal equations, Newton steps
+    and flow state are always f32.
     """
     H, W = img0.shape
     r = win // 2
@@ -103,9 +117,9 @@ def _track_level(img0, img1, pos, guess, win, iters, min_eig_threshold):
     w_ix = _subpix_windows(ix, tl0, win)
     w_iy = _subpix_windows(iy, tl0, win)
 
-    gxx = jnp.sum(w_ix * w_ix, axis=(1, 2))
-    gxy = jnp.sum(w_ix * w_iy, axis=(1, 2))
-    gyy = jnp.sum(w_iy * w_iy, axis=(1, 2))
+    gxx = _dot(w_ix, w_ix)
+    gxy = _dot(w_ix, w_iy)
+    gyy = _dot(w_iy, w_iy)
     det = gxx * gyy - gxy * gxy
     tr = gxx + gyy
     min_eig = 0.5 * (tr - jnp.sqrt(jnp.maximum(tr * tr - 4.0 * det, 0.0)))
@@ -117,8 +131,8 @@ def _track_level(img0, img1, pos, guess, win, iters, min_eig_threshold):
     def body(_, d):
         w_i1 = _subpix_windows(img1, tl0 + d, win)
         diff = w_i0 - w_i1
-        bx = jnp.sum(diff * w_ix, axis=(1, 2))
-        by = jnp.sum(diff * w_iy, axis=(1, 2))
+        bx = _dot(diff, w_ix)
+        by = _dot(diff, w_iy)
         dx = (gyy * bx - gxy * by) / safe_det
         dy = (gxx * by - gxy * bx) / safe_det
         step = jnp.clip(jnp.stack([dx, dy], axis=-1), -max_step, max_step)
@@ -139,6 +153,7 @@ def pyramid_lk(
     iters: int = 12,
     min_eig_threshold: float = 1e-4,
     max_residual: float = 1.0,
+    dtype=jnp.float32,
 ):
     """Track ``positions`` from gray0 to gray1.
 
@@ -146,6 +161,12 @@ def pyramid_lk(
       gray0, gray1: (H, W) float images in [0, 1].
       positions: (K, 2) [x, y] corner coords (full resolution).
       mask: (K,) validity of each corner.
+      dtype: window/gather compute dtype.  ``jnp.bfloat16`` halves the
+        HBM traffic of the per-iteration window gathers (the LK hot
+        loop); pyramids are always BUILT in f32 (the binomial blur is
+        cheap and feeding f32 levels keeps the quantization to one
+        rounding), gradients/windows/products then run in ``dtype`` with
+        f32 accumulation.  Flow state and the 2x2 solve stay f32.
     Returns:
       (flow, ok): flow (K, 2) [dx, dy] px; ok (K,) = mask & trackable &
       still inside the image & window residual below ``max_residual``.
@@ -154,8 +175,8 @@ def pyramid_lk(
     # drop pyramid levels whose image cannot hold a (win+1) slice window
     while levels > 1 and min(H, W) // (2 ** (levels - 1)) < win + 2:
         levels -= 1
-    pyr0 = build_pyramid(gray0, levels)
-    pyr1 = build_pyramid(gray1, levels)
+    pyr0 = [p.astype(dtype) for p in build_pyramid(gray0, levels)]
+    pyr1 = [p.astype(dtype) for p in build_pyramid(gray1, levels)]
 
     K = positions.shape[0]
     flow = jnp.zeros((K, 2), jnp.float32)

@@ -125,3 +125,50 @@ class TestFileApi:
         med = np.median(v[:, 2], axis=0)
         assert abs(med - 1.0) < 0.35
         assert (tmp_path / "flow.png").exists()
+
+
+class TestBf16LK:
+    """Opt-in bfloat16 window path (FlowConfig.lk_dtype) vs the f32 default.
+
+    The bf16 path quantizes window gathers/products only (solve, flow
+    state, accumulation and the residual gate stay f32 — ops/flow/lk.py),
+    so tracked flow must agree with f32 to well under the 0.1 px OpenCV
+    cross-check budget."""
+
+    def test_bf16_matches_f32(self):
+        cfg16 = FlowConfig(lk_dtype="bfloat16")
+        for seed, (dx, dy) in [(3, (1.3, -0.8)), (7, (0.07, 0.04)), (11, (2.3, 1.7))]:
+            img0 = textured_image(seed=seed)
+            img1 = shift_image(img0, dx, dy)
+            v32, m32 = flow_vectors(jnp.asarray(img0), jnp.asarray(img1))
+            v16, m16 = flow_vectors(jnp.asarray(img0), jnp.asarray(img1), cfg16)
+            m32 = np.asarray(m32)
+            m16 = np.asarray(m16)
+            both = m32 & m16
+            assert both.sum() >= 20
+            # near-identical validity: quantization may flip a borderline
+            # residual/eig gate on at most a couple of corners
+            assert (m32 ^ m16).sum() <= 2
+            diff = np.linalg.norm(
+                np.asarray(v32)[both, 2:4] - np.asarray(v16)[both, 2:4], axis=1
+            )
+            assert np.median(diff) < 0.02, (seed, np.median(diff))
+            assert np.percentile(diff, 95) < 0.05, (seed, float(np.percentile(diff, 95)))
+
+    def test_bf16_still_matches_opencv(self):
+        img0 = textured_image(seed=3)
+        img1 = shift_image(img0, 1.3, -0.8)
+        vec, mask = flow_vectors(
+            jnp.asarray(img0), jnp.asarray(img1), FlowConfig(lk_dtype="bfloat16")
+        )
+        vec = np.asarray(vec)[np.asarray(mask)]
+        pts = vec[:, :2].astype(np.float32).reshape(-1, 1, 2)
+        nxt, st, _ = cv2.calcOpticalFlowPyrLK(
+            (img0 * 255).astype(np.uint8), (img1 * 255).astype(np.uint8),
+            pts, None, winSize=(21, 21), maxLevel=2,
+        )
+        cv_flow = (nxt - pts).reshape(-1, 2)
+        st = st.reshape(-1).astype(bool)
+        diff = np.linalg.norm(vec[st, 2:4] - cv_flow[st], axis=1)
+        assert np.median(diff) < 0.1, np.median(diff)
+        assert np.percentile(diff, 90) < 0.5
