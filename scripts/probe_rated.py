@@ -51,6 +51,9 @@ def main(argv=None):
     p.add_argument("--s2d", action="store_true",
                    help="space-to-depth pixel layer (the promotion gate "
                         "for EvalConfig.s2d_l0)")
+    p.add_argument("--lk_bf16", action="store_true",
+                   help="bfloat16 LK window gathers/products (the promotion "
+                        "gate for FlowConfig.lk_dtype='bfloat16')")
     p.add_argument("--only", default="",
                    help="comma-separated subset: image names and/or the "
                         "shorthands 'bw' / 'color' (stack-filtered probes "
@@ -94,6 +97,10 @@ def main(argv=None):
     else:
         selected = list(IMAGES)
 
+    from evolutionary_illusion_generator_tpu.ops.flow.api import FlowConfig
+
+    flow_cfg = FlowConfig(lk_dtype="bfloat16" if args.lk_bf16 else "float32")
+
     results = {}
     print(f"{'image':18s} {'published':>9s} {'ours':>9s}  n_vec")
     for name, rel, structure, published in selected:
@@ -102,7 +109,7 @@ def main(argv=None):
         channels = BW if mode == "L" else COLOR
         model = args.model_bw if mode == "L" else args.model_color
         vectors = get_vectors(path, model, channels, 160, 120,
-                              int8=args.int8, s2d=args.s2d)
+                              int8=args.int8, s2d=args.s2d, flow=flow_cfg)
         score = (
             0.0
             if vectors.size == 0
