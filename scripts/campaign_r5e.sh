@@ -11,16 +11,16 @@ exec >>"$LOG" 2>&1
 
 stamp() { echo "[campaign-r5e $(date -u +%H:%M:%S)] $*"; }
 
-stamp "waiting for part D stage D2 (bw v8ctl 20k) to finish ..."
+stamp "waiting for part F stage F2 (bw v7b125) to finish ..."
 for i in $(seq 1 2400); do
-  [ -f candidates/prednet_bw_v8ctl.npz ] && break
+  [ -f candidates/prednet_bw_v7b125.npz ] && break
   sleep 10
 done
-if [ ! -f candidates/prednet_bw_v8ctl.npz ]; then
-  stamp "part D final output never appeared; aborting"
+if [ ! -f candidates/prednet_bw_v7b125.npz ]; then
+  stamp "part F final output never appeared; aborting"
   exit 1
 fi
-stamp "part D complete; cooldown before stage E1"
+stamp "part F complete; cooldown before stage E1"
 sleep 180
 
 stamp "=== stage E1: fresh default bench (3 reps) ==="
