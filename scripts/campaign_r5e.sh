@@ -23,6 +23,12 @@ fi
 stamp "part F complete; cooldown before stage E1"
 sleep 180
 
+stamp "=== stage E0: compiled-HLO dump of the s2d rollout (copy.* attribution) ==="
+python scripts/tpu_run.py --log gallery/logs/rollout_hlo_r5.log --stall 900 --retries 3 -- \
+  python scripts/dump_rollout_hlo.py --out gallery/logs/rollout_hlo_r5.txt.gz
+stamp "stage E0 done rc=$?"
+sleep 120
+
 stamp "=== stage E1: fresh default bench (3 reps) ==="
 python scripts/tpu_run.py --log gallery/logs/bench_r5_default.log --stall 1200 --retries 3 -- \
   python bench.py

@@ -137,15 +137,25 @@ def main(argv=None):
     )
     print(f"[profile] backend={jax.default_backend()} pop={pop} {w}x{h} "
           f"stack={channels} s2d={s2d}", flush=True)
+    def materialize(out):
+        # force completion on backends where block_until_ready returns
+        # early for repeated identical executions (the axon tunnel):
+        # fetching one element cannot complete before the buffer exists
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        return float(jnp.ravel(leaf)[0])
+
     t0 = time.time()
     lowered = roll.lower(params, imgs)
     compiled = lowered.compile()
-    jax.block_until_ready(compiled(params, imgs))
+    materialize(compiled(params, imgs))
     print(f"[profile] compile+first run {time.time() - t0:.1f}s", flush=True)
     ts = []
-    for _ in range(3):
+    for i in range(3):
+        # vary the input so no execution can be deduped against the last
+        imgs_i = imgs.at[0, 0, 0, 0].set(float(i) / 7.0)
+        materialize(imgs_i)
         t0 = time.time()
-        jax.block_until_ready(compiled(params, imgs))
+        materialize(compiled(params, imgs_i))
         ts.append(time.time() - t0)
     ts.sort()
     steady = ts[1]
