@@ -123,6 +123,7 @@ def pretrain(
     cue_motion_weight: float = 0.0,
     checkpoint: Optional[str] = None,
     save_every: int = 0,
+    init_weights: Optional[str] = None,
 ):
     """Train a PredNet on synthetic motion; returns (params, final_loss).
 
@@ -134,6 +135,24 @@ def pretrain(
     """
     key = jax.random.PRNGKey(seed)
     params = init_params(key, channels)
+    if init_weights:
+        # warm-start from a save_params npz (sequential fine-tune: train
+        # lever A to convergence, then dose lever B *in time* from A's
+        # endpoint instead of jointly from scratch — the round-5 rescue
+        # axis after joint hinge+anchor doses measured destructive).
+        # Cast onto the freshly-initialized templates so training dtype
+        # is identical to a cold start; optimizer state starts fresh.
+        from .loader import load_params as _load_weights
+
+        loaded = _load_weights(init_weights, dtype=jnp.float32)
+        if len(loaded) != len(params):
+            raise ValueError(
+                f"--init_weights {init_weights}: {len(loaded)} layers, "
+                f"expected {len(params)} for channels {channels}"
+            )
+        params = jax.tree_util.tree_map(
+            lambda tmpl, new: jnp.asarray(new, tmpl.dtype), params, loaded
+        )
     tx = optax.adam(lr)
     opt_state = init_opt_state(tx, params)
     # closed_frames > 0 extends each sequence by that many frames and
@@ -433,6 +452,10 @@ def main(argv: Optional[list] = None) -> int:
                         "picks it up and replays bitwise-identically "
                         "(stall-watchdog restarts lose <=N steps). "
                         "0 disables")
+    p.add_argument("--init_weights", default="",
+                   help="warm-start params from a save_params npz "
+                        "(sequential fine-tune; optimizer state fresh). "
+                        "The data stream still follows --seed")
     p.add_argument("--out", default="")
     args = p.parse_args(argv)
 
@@ -499,6 +522,7 @@ def main(argv: Optional[list] = None) -> int:
         cue_motion_weight=args.cue_motion_weight,
         checkpoint=ckpt,
         save_every=args.save_every,
+        init_weights=args.init_weights or None,
     )
     save_params(params, out)
     if ckpt and os.path.exists(ckpt):

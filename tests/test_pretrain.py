@@ -732,3 +732,40 @@ def test_band_prob_adds_white_gaps_and_preserves_plumbing():
 
     p0, p1 = plateau_frac(f0), plateau_frac(f1)
     assert p1 > p0 + 0.02, (p0, p1)
+
+
+def test_pretrain_init_weights_warm_start(tmp_path):
+    """--init_weights resumes from a save_params npz: the warm-started
+    params must differ from a cold start at step 0 (i.e. actually loaded)
+    and train to a finite loss."""
+    from evolutionary_illusion_generator_tpu.models.prednet import init_params
+    from evolutionary_illusion_generator_tpu.models.prednet.loader import (
+        load_params,
+        save_params,
+    )
+
+    params_a, _ = pretrain(
+        (1, 4), steps=3, batch=2, T=4, h=24, w=32, lr=5e-3, verbose=False,
+        data="v3",
+    )
+    src = str(tmp_path / "warm.npz")
+    save_params(params_a, src)
+    params_b, loss = pretrain(
+        (1, 4), steps=2, batch=2, T=4, h=24, w=32, lr=5e-3, verbose=False,
+        data="v3", init_weights=src,
+    )
+    assert np.isfinite(loss)
+    # warm start must have taken: one fresh-init layer-0 kernel differs
+    import jax
+
+    cold = init_params(jax.random.PRNGKey(0), (1, 4))
+    loaded = load_params(src, dtype=cold[0][next(iter(cold[0]))].dtype)
+    k0 = next(iter(cold[0]))
+    assert not np.allclose(
+        np.asarray(cold[0][k0], np.float32),
+        np.asarray(loaded[0][k0], np.float32),
+    )
+    assert all(
+        np.asarray(la[k]).shape == np.asarray(lb[k]).shape
+        for la, lb in zip(params_a, params_b) for k in la
+    )
