@@ -371,6 +371,47 @@ def _tile4(b):
     return jnp.tile(b, 4)
 
 
+def _gate_major(K):
+    """Permute a lifted s2d LSTM kernel's output channels from phase-major
+    ``[phase][gate][c]`` to gate-major ``[gate][phase][c]``.
+
+    With gate-major packing the step's gate math is pure rank-4 NHWC
+    slicing: ``split(gates, 4, -1)`` yields i/f/o/g each with phase-major
+    ``4C`` channels, elementwise-aligned with the phase-major cell carry —
+    no rank-5 reshapes.  The round-5 per-op profile attributed ~16% of
+    the rollout to in-scan layout copies, and the HLO dump pins them to
+    exactly those reshapes (each splits the minor channel dim of a tensor
+    whose conv-preferred layout is non-default, forcing a physical copy
+    every scan step).  Reordering the kernel at lift time is free: XLA
+    hoists the loop-invariant lift out of the scan."""
+    kh, kw, cin4, cout4 = K.shape
+    C = cout4 // 16  # cout4 = 4 phases x 4 gates x C
+    K = K.reshape(kh, kw, cin4, 4, 4, C)  # (phase, gate, c)
+    K = K.transpose(0, 1, 2, 4, 3, 5)  # (gate, phase, c)
+    return K.reshape(kh, kw, cin4, cout4)
+
+
+def _tile4_gate_major(b):
+    """Bias for a gate-major s2d LSTM conv output: full-res bias blocks
+    ``[gate][c]`` each repeated across the four phases."""
+    C = b.shape[0] // 4
+    return jnp.tile(b.reshape(4, 1, C), (1, 4, 1)).reshape(-1)
+
+
+def _posneg_major_in(K):
+    """Permute a lifted s2d kernel's INPUT channels from the phase-major
+    error packing ``[phase][pos|neg][c]`` (what :func:`_s2d` of the
+    full-res ``[pos; neg]`` concat produces) to the pos/neg-major packing
+    ``[pos|neg][phase][c]`` the rank-4 step emits (plain
+    ``concat([relu(ahat-a), relu(a-ahat)])`` of phase-major tensors,
+    no rank-5 interleave)."""
+    kh, kw, cin4, cout = K.shape
+    c0 = cin4 // 8  # cin4 = 4 phases x 2 signs x c0
+    K = K.reshape(kh, kw, 4, 2, c0, cout)  # (phase, sign, c)
+    K = K.transpose(0, 1, 3, 2, 4, 5)  # (sign, phase, c)
+    return K.reshape(kh, kw, cin4, cout)
+
+
 def _maxpool2(x):
     return jax.lax.reduce_window(
         x,
@@ -594,26 +635,33 @@ def prednet_step(
         elif s2d_here:
             # pixel layer in s2d layout: lifted 3x3 convs over 4x-packed
             # channels, top-down tile folded into the kernel (no upsample
-            # intermediate), gate math per (phase, channel)
+            # intermediate).  Kernel output channels are reordered GATE-
+            # major at lift time (and the e-input channels to the rank-4
+            # pos/neg-major error packing) so the gate math below is pure
+            # rank-4 slicing — no per-step rank-5 reshape, hence no
+            # in-scan layout copies (see _gate_major).
             gates = _conv(
-                s["e"], _s2d_kernel(w[:, :, : 2 * C]),
-                _tile4(params[l]["lstm_b"]), cd,
+                s["e"],
+                _gate_major(_posneg_major_in(_s2d_kernel(w[:, :, : 2 * C]))),
+                _tile4_gate_major(params[l]["lstm_b"]), cd,
             )
             gates = gates + _conv_nobias(
-                s["r"], _s2d_kernel(w[:, :, 2 * C : 3 * C]), cd
+                s["r"], _gate_major(_s2d_kernel(w[:, :, 2 * C : 3 * C])), cd
             )
             if r_above is not None:
                 gates = gates + _conv_nobias(
-                    r_above, _s2d_kernel_tiled(w[:, :, 3 * C :]), cd
+                    r_above,
+                    _gate_major(_s2d_kernel_tiled(w[:, :, 3 * C :])), cd,
                 )
-            bsz, h2, w2 = gates.shape[:3]
-            h4, c4 = _lstm_gates_jnp(
-                gates.reshape(bsz, h2, w2, 4, 4 * C),
-                s["c"].reshape(bsz, h2, w2, 4, C),
-                peephole,
-            )
-            h = h4.reshape(bsz, h2, w2, 4 * C)
-            c = c4.reshape(bsz, h2, w2, 4 * C)
+            pe = peephole
+            if pe is not None:
+                # per-channel (C,) peepholes tile phase-major to match the
+                # (4C,) carry; spatial peepholes are excluded by _s2d_ok
+                pe = {
+                    k: (_tile4(v) if getattr(v, "ndim", 1) == 1 else v)
+                    for k, v in pe.items()
+                }
+            h, c = _lstm_gates_jnp(gates, s["c"], pe)
         else:
             w_e = w[:, :, : 2 * C]
             w_r = w[:, :, 2 * C : 3 * C]
@@ -646,25 +694,31 @@ def prednet_step(
             )
             ahat = jnp.clip(ahat, 0.0, 1.0)  # SatLU at the pixel layer
             prediction = ahat.astype(jnp.float32)  # s2d-packed
-            bsz, h2, w2 = ahat.shape[:3]
-            ah4 = ahat.reshape(bsz, h2, w2, 4, C0)
-            a4 = a.reshape(bsz, h2, w2, 4, C0)
-            # [pos; neg] inside each phase block == _s2d of the full-res
-            # [pos(C0); neg(C0)] concat
+            # rank-4 pos/neg-major error: [pos(4C0 phase-major);
+            # neg(4C0 phase-major)] — a channel permutation of _s2d of
+            # the full-res [pos; neg] concat, compensated in the e-input
+            # channel order of both lifted consumers (_posneg_major_in)
             e = jnp.concatenate(
-                [jax.nn.relu(ah4 - a4), jax.nn.relu(a4 - ah4)], axis=-1
-            ).reshape(bsz, h2, w2, 8 * C0)
+                [jax.nn.relu(ahat - a), jax.nn.relu(a - ahat)], axis=-1
+            )
             new_state[0]["e"] = e.astype(dtype)
             if L > 1:
                 # maxpool2(relu(conv3x3(E0))) == per-cell max over the four
                 # phase blocks of the lifted conv — A_1 comes out directly
-                # in layer 1's own (H/2, W/2) layout, no relayout
+                # in layer 1's own (H/2, W/2) layout, no relayout; the
+                # phase max is four rank-4 channel slices, not a rank-5
+                # reduce
                 c1 = params[0]["a_w"].shape[3]
                 a1 = _conv(
-                    e.astype(dtype), _s2d_kernel(params[0]["a_w"]),
+                    e.astype(dtype),
+                    _posneg_major_in(_s2d_kernel(params[0]["a_w"])),
                     _tile4(params[0]["a_b"]), cd,
                 )
-                a = jax.nn.relu(a1).reshape(bsz, h2, w2, 4, c1).max(axis=3)
+                r1 = jax.nn.relu(a1)
+                a = jnp.maximum(
+                    jnp.maximum(r1[..., :c1], r1[..., c1 : 2 * c1]),
+                    jnp.maximum(r1[..., 2 * c1 : 3 * c1], r1[..., 3 * c1 :]),
+                )
             continue
         if quantized:
             ahat = _conv_q(
