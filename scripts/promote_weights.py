@@ -89,10 +89,13 @@ def main(argv=None):
     print(f"[promote] {args.candidate} (stack {chans}) -> {dest} [f16]")
 
     cpu = ["--cpu"] if args.cpu else []
+    # Regression flags go ONLY to the cache script — probe_rated.py does not
+    # accept them (round-5 promote_bw_v9 crashed at this exact step).
+    cache_flags = list(cpu)
     if args.allow_regression:
-        cpu = cpu + ["--allow_regression"]
+        cache_flags += ["--allow_regression"]
     if args.aggregate_rationale:
-        cpu = cpu + ["--aggregate_rationale", args.aggregate_rationale]
+        cache_flags += ["--aggregate_rationale", args.aggregate_rationale]
     print("[promote] regenerating ordering-guard cache ...")
     # The cache script ratchets gallery/ordering_floors.json and REFUSES a
     # candidate that scores below the shipped floors (check=True aborts the
@@ -101,7 +104,8 @@ def main(argv=None):
     try:
         subprocess.run(
             [sys.executable, os.path.join(REPO, "scripts",
-                                          "cache_probe_vectors.py"), *cpu],
+                                          "cache_probe_vectors.py"),
+             *cache_flags],
             check=True,
         )
     except subprocess.CalledProcessError:
