@@ -134,6 +134,20 @@ def test_aggregate_floors_hold(cache):
     assert scores["manyfish"] >= aggs["manyfish"], (scores["manyfish"], aggs)
 
 
+def test_expand02_above_manyfish(cache):
+    """The one published pairwise relation that holds across the ENTIRE
+    measured round-5 frontier (shipped v9n2_swa 0.669 > 0.601, alternate
+    v9p2_swa 0.687 > 0.622, round-4 v6ab 0.689 > 0.569): expand_02 above
+    manyfish, as in eigen_own_ratings.csv (0.817 > 0.650).  Hard guard —
+    a promotion that loses it needs this test edited, i.e. a reviewed
+    decision, not a flag."""
+    scores = {}
+    for name in _names(cache):
+        _structure, _published, recorded = cache[f"meta/{name}"]
+        scores[name] = float(recorded)
+    assert scores["expand_02"] > scores["manyfish"], scores
+
+
 @pytest.mark.xfail(
     strict=False,
     reason="v6 fidelity target (VERDICT r3): the published table has every "
